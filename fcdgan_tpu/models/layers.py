@@ -1,0 +1,223 @@
+"""Shared flax building blocks (NHWC, TPU conv layouts).
+
+Functional counterparts of the reference's Module.py building blocks:
+DoubleConv (Module.py:18-35), Down (:38-49), Up (:52-79), OutConv (:82-90),
+ResidualBlock (:174-190) — rebuilt as flax.linen modules in NHWC with
+torch-matched default initialization (kaiming-uniform kernels, fan-in uniform
+bias) so training dynamics track the reference.
+
+BatchNorm follows torch semantics: momentum 0.1 (flax momentum=0.9),
+eps 1e-5, train mode uses batch statistics. ``axis_name`` enables sync-BN
+when the step runs under shard_map data parallelism — with tiny global
+batches (10-15 in the reference demos) per-replica statistics would diverge
+from the single-device reference, so cross-replica stats are the default
+parity choice (SURVEY.md section 7 "hard parts" #2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def torch_kernel_init():
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class TorchConv(nn.Module):
+    """nn.Conv with torch-default kernel/bias initialization."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[str, int] = "SAME"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1] * int(np.prod(self.kernel_size))
+        bound = 1.0 / np.sqrt(fan_in)
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        padding = self.padding
+        if isinstance(padding, int):
+            padding = [(padding, padding), (padding, padding)]
+        strides = self.strides
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=strides,
+            padding=padding,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init(),
+            bias_init=bias_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """torch-semantics BatchNorm2d (momentum 0.1, eps 1e-5, optional sync)."""
+
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )(x)
+
+
+class PReLU(nn.Module):
+    """torch-default PReLU: one learnable slope, init 0.25 (Module.py:148)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
+        alpha = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 -> BN -> ReLU) x2 (parity: Module.py:18-35)."""
+
+    features: int
+    mid_features: Optional[int] = None
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        mid = self.mid_features or self.features
+        x = TorchConv(mid, (3, 3), padding=1, dtype=self.dtype)(x)
+        x = BatchNorm(self.axis_name, self.dtype)(x, train)
+        x = nn.relu(x)
+        x = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
+        x = BatchNorm(self.axis_name, self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class Down(nn.Module):
+    """MaxPool2 -> DoubleConv (parity: Module.py:38-49)."""
+
+    features: int
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.features, axis_name=self.axis_name, dtype=self.dtype)(x, train)
+
+
+def upsample_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True (torch nn.Upsample parity).
+
+    jax.image.resize uses half-pixel centers, so the corner-aligned source
+    grid ``src = i * (in-1)/(out-1)`` is built explicitly as two separable
+    gather+lerp passes (cheap on TPU; XLA fuses the lerps).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def axis_weights(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            lo = jnp.zeros((out_size,), jnp.int32)
+            return lo, lo, jnp.zeros((out_size,), x.dtype)
+        src = jnp.linspace(0.0, in_size - 1.0, out_size)
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.clip(lo + 1, 0, in_size - 1)
+        frac = (src - lo).astype(x.dtype)
+        return lo, hi, frac
+
+    y0, y1, fy = axis_weights(h, oh)
+    x = x[:, y0] * (1 - fy)[None, :, None, None] + x[:, y1] * fy[None, :, None, None]
+    x0, x1, fx = axis_weights(w, ow)
+    x = x[:, :, x0] * (1 - fx)[None, None, :, None] + x[:, :, x1] * fx[None, None, :, None]
+    return x
+
+
+def pad_to_match(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """F.pad(x1, [dx//2, dx-dx//2, dy//2, dy-dy//2]) parity (Module.py:70-74)."""
+    dy = x2.shape[1] - x1.shape[1]
+    dx = x2.shape[2] - x1.shape[2]
+    return jnp.pad(
+        x1, ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0))
+    )
+
+
+class Up(nn.Module):
+    """Upscale x1, pad to x2's size, concat [x2, x1], DoubleConv (Module.py:52-79)."""
+
+    features: int
+    bilinear: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool):
+        if self.bilinear:
+            x1 = upsample_bilinear_align_corners(
+                x1, (x1.shape[1] * 2, x1.shape[2] * 2)
+            )
+            conv = DoubleConv(
+                self.features,
+                mid_features=(x1.shape[-1] + x2.shape[-1]) // 2,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
+        else:
+            x1 = nn.ConvTranspose(
+                x1.shape[-1] // 2,
+                (2, 2),
+                strides=(2, 2),
+                kernel_init=torch_kernel_init(),
+                dtype=self.dtype,
+            )(x1)
+            conv = DoubleConv(self.features, axis_name=self.axis_name, dtype=self.dtype)
+        x1 = pad_to_match(x1, x2)
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return conv(x, train)
+
+
+class OutConv(nn.Module):
+    """Conv1x1 -> sigmoid (parity: Module.py:82-90)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(self.features, (1, 1), padding=0, dtype=self.dtype)(x)
+        return nn.sigmoid(x)
+
+
+class ResidualBlock(nn.Module):
+    """Conv3x3-BN-PReLU-Conv3x3-BN + identity (parity: Module.py:174-190)."""
+
+    features: int
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        r = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
+        r = BatchNorm(self.axis_name, self.dtype)(r, train)
+        r = PReLU()(r)
+        r = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype)(r)
+        r = BatchNorm(self.axis_name, self.dtype)(r, train)
+        return x + r

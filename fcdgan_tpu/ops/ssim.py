@@ -1,0 +1,206 @@
+"""SSIM / MS-SSIM in JAX — NHWC, separable gaussian window, XLA-fused.
+
+Behavioral parity with the reference's vendored pytorch-msssim stack
+(/root/reference/ssim.py): 1-D gaussian window (ssim.py:9-23), depthwise
+valid-padding blur applied per spatial dim with the skip-when-too-small rule
+(ssim.py:26-52), luminance*contrast maps (ssim.py:55-92), 5-scale MS-SSIM with
+avg-pool-2 (count-include-pad) between levels, relu'd cs maps, and the default
+weights [0.0448, 0.2856, 0.3001, 0.2363, 0.1333] (ssim.py:153-225).
+
+TPU-first differences:
+  * layout is NHWC (TPU conv-friendly), vs the reference's NCHW,
+  * the two 1-D blurs are depthwise ``lax.conv_general_dilated`` calls that
+    XLA fuses with the elementwise SSIM map — no five separate blur launches,
+  * the minimum-size assertion (ssim.py:194-197) is a ``ValueError`` with the
+    same bound, and the level count is configurable so small test tiles can
+    run reduced-scale MS-SSIM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DEFAULT_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def gaussian_window(win_size: int, sigma: float) -> np.ndarray:
+    """Normalised 1-D gaussian (parity: ssim.py:9-23)."""
+    coords = np.arange(win_size, dtype=np.float64) - win_size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur_axis(x: jnp.ndarray, win: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Depthwise VALID 1-D blur along one spatial axis of an NHWC tensor."""
+    c = x.shape[-1]
+    k = win.shape[0]
+    if axis == 1:  # H
+        rhs = jnp.tile(win.reshape(k, 1, 1, 1), (1, 1, 1, c))
+    else:  # W
+        rhs = jnp.tile(win.reshape(1, k, 1, 1), (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x,
+        rhs.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def gaussian_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable blur; skips an axis shorter than the window (ssim.py:44-51)."""
+    for axis in (1, 2):
+        if x.shape[axis] >= win.shape[0]:
+            x = _blur_axis(x, win, axis)
+    return x
+
+
+def _ssim_maps(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float,
+    win: jnp.ndarray,
+    k: Tuple[float, float] = (0.01, 0.03),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel mean (ssim, cs) over the valid map (parity: ssim.py:55-92).
+
+    Returns two (N, C) arrays.
+    """
+    k1, k2 = k
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu1 = gaussian_filter(x, win)
+    mu2 = gaussian_filter(y, win)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+
+    sigma1_sq = gaussian_filter(x * x, win) - mu1_sq
+    sigma2_sq = gaussian_filter(y * y, win) - mu2_sq
+    sigma12 = gaussian_filter(x * y, win) - mu1_mu2
+
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+
+    ssim_pc = ssim_map.mean(axis=(1, 2))
+    cs_pc = cs_map.mean(axis=(1, 2))
+    return ssim_pc, cs_pc
+
+
+def ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float = 255.0,
+    size_average: bool = True,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    k: Tuple[float, float] = (0.01, 0.03),
+    nonnegative_ssim: bool = False,
+) -> jnp.ndarray:
+    """Single-scale SSIM of NHWC batches (parity: ssim.py:95-150)."""
+    if x.shape != y.shape:
+        raise ValueError("Input images should have the same dimensions.")
+    if win_size % 2 != 1:
+        raise ValueError("Window size should be odd.")
+    win = jnp.asarray(gaussian_window(win_size, win_sigma))
+    ssim_pc, _ = _ssim_maps(x, y, data_range, win, k)
+    if nonnegative_ssim:
+        ssim_pc = jax.nn.relu(ssim_pc)
+    return ssim_pc.mean() if size_average else ssim_pc.mean(axis=1)
+
+
+def _avg_pool2_count_include_pad(x: jnp.ndarray, pad_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch avg_pool2d(kernel=2, padding=p) equivalent for NHWC.
+
+    Zero-pads both sides then averages 2x2 windows with stride 2, counting
+    padded zeros (torch's count_include_pad=True default; ssim.py:214-216).
+    """
+    ph, pw = pad_hw
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    return summed / 4.0
+
+
+def ms_ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float = 255.0,
+    size_average: bool = True,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    weights: Optional[Sequence[float]] = None,
+    k: Tuple[float, float] = (0.01, 0.03),
+) -> jnp.ndarray:
+    """Multi-scale SSIM of NHWC batches (parity: ssim.py:153-225)."""
+    if x.shape != y.shape:
+        raise ValueError("Input images should have the same dimensions.")
+    if win_size % 2 != 1:
+        raise ValueError("Window size should be odd.")
+    if weights is None:
+        weights = _DEFAULT_WEIGHTS
+    levels = len(weights)
+
+    smaller_side = min(x.shape[1], x.shape[2])
+    min_side = (win_size - 1) * 2 ** (levels - 1)
+    if smaller_side <= min_side:
+        raise ValueError(
+            "Image size should be larger than %d due to the %d downsamplings "
+            "in ms-ssim" % (min_side, levels - 1)
+        )
+
+    win = jnp.asarray(gaussian_window(win_size, win_sigma))
+    w = jnp.asarray(weights, dtype=x.dtype).reshape(-1, 1, 1)
+
+    mcs = []
+    ssim_pc = None
+    for i in range(levels):
+        ssim_pc, cs_pc = _ssim_maps(x, y, data_range, win, k)
+        if i < levels - 1:
+            mcs.append(jax.nn.relu(cs_pc))
+            pad = (x.shape[1] % 2, x.shape[2] % 2)
+            x = _avg_pool2_count_include_pad(x, pad)
+            y = _avg_pool2_count_include_pad(y, pad)
+
+    ssim_pc = jax.nn.relu(ssim_pc)
+    stacked = jnp.stack(mcs + [ssim_pc], axis=0)  # (levels, N, C)
+    val = jnp.prod(stacked**w, axis=0)  # (N, C)
+    return val.mean() if size_average else val.mean(axis=1)
+
+
+class SSIM:
+    """Configured single-scale SSIM callable (parity: ssim.py:228-268)."""
+
+    def __init__(self, data_range=255.0, size_average=True, win_size=11,
+                 win_sigma=1.5, k=(0.01, 0.03), nonnegative_ssim=False):
+        self._fn = functools.partial(
+            ssim, data_range=data_range, size_average=size_average,
+            win_size=win_size, win_sigma=win_sigma, k=k,
+            nonnegative_ssim=nonnegative_ssim,
+        )
+
+    def __call__(self, x, y):
+        return self._fn(x, y)
+
+
+class MS_SSIM:
+    """Configured MS-SSIM callable (parity: ssim.py:271-310)."""
+
+    def __init__(self, data_range=255.0, size_average=True, win_size=11,
+                 win_sigma=1.5, weights=None, k=(0.01, 0.03)):
+        self._fn = functools.partial(
+            ms_ssim, data_range=data_range, size_average=size_average,
+            win_size=win_size, win_sigma=win_sigma, weights=weights, k=k,
+        )
+
+    def __call__(self, x, y):
+        return self._fn(x, y)
