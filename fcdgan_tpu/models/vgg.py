@@ -1,0 +1,127 @@
+"""VGG16 feature extractor for the perception loss.
+
+The reference taps frozen torchvision-pretrained VGG16 features at the
+post-ReLU indices [29, 22, 15, 8, 3] of ``vgg16().features``
+(/root/reference/Loss.py:25-34) — i.e. relu5_3, relu4_3, relu3_3, relu2_2,
+relu1_2 — and compares target vs generated feature maps with MSE.
+
+This environment has no torchvision and no network egress, so pretrained
+weights are **pluggable**: :func:`load_vgg16_params` loads a converted ``.npz``
+(produced by ``tools/convert_vgg.py`` on a machine with torchvision), and falls
+back to a fixed-seed He-normal random network otherwise. A frozen random
+convnet is a well-documented functioning perceptual metric; swap in the
+converted weights for exact reference parity.
+
+TPU-first: NHWC, single stacked forward for per-band mode (the reference loops
+bands through VGG sequentially, Loss.py:52-60).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (out_channels per conv layer, pool positions) of vgg16().features
+_CFG: Tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M")
+
+# torchvision sequential index of each ReLU, in _CFG conv order
+_RELU_INDEX: List[int] = []
+_i = 0
+for _c in _CFG:
+    if _c == "M":
+        _i += 1
+    else:
+        _RELU_INDEX.append(_i + 1)  # conv at _i, relu at _i+1
+        _i += 2
+
+#: multi-layer tap list, deepest first (parity: Loss.py:30)
+FEATURE_LAYER_LIST: Tuple[int, ...] = (29, 22, 15, 8, 3)
+
+
+def vgg16_random_params(seed: int = 0, dtype=jnp.float32) -> Dict[str, np.ndarray]:
+    """Deterministic He-normal random VGG16 conv weights (fallback)."""
+    rng = np.random.default_rng(seed)
+    params = {}
+    in_c = 3
+    for li, c in enumerate([c for c in _CFG if c != "M"]):
+        fan_in = in_c * 9
+        std = float(np.sqrt(2.0 / fan_in))
+        params[f"conv{li}_kernel"] = rng.normal(0, std, (3, 3, in_c, c)).astype(np.float32)
+        params[f"conv{li}_bias"] = np.zeros((c,), np.float32)
+        in_c = c
+    return params
+
+
+def load_vgg16_params(path: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Load converted torchvision weights from ``.npz``; random fallback.
+
+    Search order: explicit ``path`` -> ``$FCDGAN_VGG16_NPZ`` -> bundled asset
+    ``fcdgan_tpu/assets/vgg16_features.npz`` -> fixed-seed random.
+    """
+    candidates = []
+    if path:
+        candidates.append(path)
+    env = os.environ.get("FCDGAN_VGG16_NPZ")
+    if env:
+        candidates.append(env)
+    candidates.append(os.path.join(os.path.dirname(__file__), "..", "assets", "vgg16_features.npz"))
+    for c in candidates:
+        if c and os.path.exists(c):
+            with np.load(c) as z:
+                return {k: z[k] for k in z.files}
+    return vgg16_random_params()
+
+
+def vgg16_features(
+    x: jnp.ndarray,
+    params: Dict[str, np.ndarray],
+    tap_indices: Sequence[int],
+) -> List[jnp.ndarray]:
+    """Run NHWC RGB input through VGG16 features, returning tapped activations.
+
+    ``tap_indices`` are torchvision sequential indices (see
+    FEATURE_LAYER_LIST); computation stops at the deepest requested tap —
+    unlike the reference, which runs the full stack regardless (Loss.py:45).
+    """
+    taps = set(int(t) for t in tap_indices)
+    deepest = max(taps)
+    out: List[Tuple[int, jnp.ndarray]] = []
+    li = 0
+    seq = 0
+    h = x
+    for c in _CFG:
+        if c == "M":
+            if seq > deepest:
+                break
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            seq += 1
+        else:
+            if seq > deepest:
+                break
+            k = jnp.asarray(params[f"conv{li}_kernel"], h.dtype)
+            b = jnp.asarray(params[f"conv{li}_bias"], h.dtype)
+            h = jax.lax.conv_general_dilated(
+                h, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+            h = jax.nn.relu(h)
+            seq += 2
+            if seq - 1 in taps:  # relu index
+                out.append((seq - 1, h))
+            li += 1
+    order = {t: i for i, t in enumerate(tap_indices)}
+    out.sort(key=lambda kv: order[kv[0]])
+    return [h for _, h in out]
+
+
+def select_feature_layers(feature_layer: int) -> Tuple[int, ...]:
+    """First N entries of the tap list, clamped to [1, 5] (Loss.py:32-34)."""
+    n = max(1, min(int(feature_layer), 5))
+    return FEATURE_LAYER_LIST[:n]
