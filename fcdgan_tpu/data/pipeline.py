@@ -1,0 +1,164 @@
+"""Host -> device batch pipeline: fixed shapes, wrap padding, prefetch.
+
+The reference feeds the GPU through a torch DataLoader whose last batch is
+smaller (shape change => XLA recompile). Here every epoch yields fixed-shape
+batches: the tail is wrap-padded with extra samples whose ``weight`` is 0, so
+jitted steps compile once and the weighted losses/metrics reproduce true-batch
+semantics exactly (see ops/losses.py).
+
+``prefetch`` runs dataset item assembly in background threads and keeps a
+bounded queue of ready batches so raster decode overlaps device compute —
+the "prefetched tile pipeline feeding TPU HBM" of the north star
+(SURVEY.md section 3.4). ``device_put_sharded_batch`` places a host batch
+onto a data-parallel mesh in one transfer."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class Batch(dict):
+    """A dict batch with attribute access (x, y, ref, item, weight, ...)."""
+
+    __getattr__ = dict.__getitem__
+
+
+def _collate(samples: Sequence[tuple], fields: Sequence[str]) -> Batch:
+    out = Batch()
+    for i, name in enumerate(fields):
+        vals = [s[i] for s in samples]
+        if np.isscalar(vals[0]) or np.asarray(vals[0]).ndim == 0:
+            out[name] = np.asarray(vals)
+        else:
+            out[name] = np.stack(vals)
+    return out
+
+
+class BatchLoader:
+    """Epoch iterator over a dataset producing fixed-shape weighted batches.
+
+    ``fields`` names the dataset's tuple positions (e.g. USSS:
+    ('x','y','item','ref')). The final partial batch is wrap-padded from the
+    epoch's own permutation with weight 0."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        fields: Sequence[str],
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        epoch_hook: Optional[Callable[[int], None]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.fields = tuple(fields)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+        self._epoch_hook = epoch_hook
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.dataset)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self._epoch_hook is not None:
+            self._epoch_hook(self._epoch)
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            weight = np.ones(len(idx), np.float32)
+            if len(idx) < bs:  # wrap-pad the tail to a fixed shape
+                extra = order[: bs - len(idx)]
+                if len(extra) < bs - len(idx):  # dataset smaller than batch
+                    extra = np.resize(order, bs - len(idx))
+                idx = np.concatenate([idx, extra])
+                weight = np.concatenate([weight, np.zeros(bs - len(weight), np.float32)])
+            samples = [self.dataset[int(i)] for i in idx]
+            batch = _collate(samples, self.fields)
+            batch["weight"] = weight
+            yield batch
+
+
+class PairBatchLoader(BatchLoader):
+    """BatchLoader over pair datasets (WHUPairDataset): yields (changed,
+    unchanged) Batch pair with a shared weight vector."""
+
+    def __iter__(self) -> Iterator[tuple]:
+        for batch in super().__iter__():
+            yield batch
+
+    def __init__(self, dataset, batch_size, c_fields, nc_fields, **kw):
+        self._c_fields = tuple(c_fields)
+        self._nc_fields = tuple(nc_fields)
+
+        class _Adapter:
+            def __init__(self, ds):
+                self.ds = ds
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                c, nc = self.ds[i]
+                return tuple(c) + tuple(nc)
+
+        super().__init__(_Adapter(dataset), batch_size,
+                         fields=tuple(f"c_{f}" for f in c_fields)
+                         + tuple(f"nc_{f}" for f in nc_fields), **kw)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded ready queue."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def device_put_batch(batch: Dict, sharding=None) -> Dict:
+    """Move a host batch to device(s); with a NamedSharding the batch axis is
+    split across the data-parallel mesh in a single transfer."""
+    import jax
+
+    out = Batch()
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+    return out

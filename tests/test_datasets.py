@@ -1,0 +1,228 @@
+"""Dataset layer: tiling, normalization, stitched write-back, WHU/OSCD parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fcdgan_tpu.data.datasets import (
+    OSCDDataset,
+    RegionScenePairDataset,
+    ScenePairDataset,
+    WHUDataset,
+    WHUPairDataset,
+)
+from fcdgan_tpu.data.normalize import Normalize, Scale, ScaleNorm
+from fcdgan_tpu.data.pipeline import BatchLoader, PairBatchLoader, prefetch
+from fcdgan_tpu.data.raster import MemoryRaster
+from fcdgan_tpu.data.stats import dataset_meanstd
+from fcdgan_tpu.data.synthetic import make_oscd_dataset, make_usss_scene, make_whu_dataset
+from fcdgan_tpu.data.tiff import TiffReader
+
+
+@pytest.fixture(scope="module")
+def usss(tmp_path_factory):
+    return make_usss_scene(str(tmp_path_factory.mktemp("usss")), 96, 80, 3)
+
+
+def test_scene_pair_dataset_tiles(usss):
+    ds = ScenePairDataset(usss["x"], usss["y"], ref_path=usss["ref"],
+                          patch_size=(48, 48), overlap_padding=(4, 4))
+    assert len(ds) == len(ds.grid)
+    x, y, item, ref = ds[0]
+    assert x.shape == (48, 48, 3) and y.shape == (48, 48, 3)
+    assert ref.shape == (48, 48, 1)
+    assert set(np.unique(ref)).issubset({0.0, 1.0, 2.0})
+    # first tile: interior written at pad offset, border rows are zero canvas
+    assert float(np.abs(x[0, :, :]).sum()) == 0.0
+    assert float(np.abs(x[4:40, 4:40, :]).sum()) > 0
+
+
+def test_scene_pair_size_mismatch_raises(usss, tmp_path):
+    bad = MemoryRaster(np.zeros((10, 10, 3), np.float32))
+    with pytest.raises(ValueError, match="sizes don't match"):
+        ScenePairDataset(usss["x"], bad)
+
+
+def test_normalize_switch_and_channel_guard():
+    n = Normalize([1.0, 2.0], [2.0, 4.0], [0.0, 0.0], [1.0, 1.0])
+    x = np.ones((4, 4, 2), np.float32)
+    out1 = n(x, switch=1)
+    np.testing.assert_allclose(out1[..., 0], 0.0)
+    np.testing.assert_allclose(out1[..., 1], -0.25)
+    out2 = n(x, switch=2)
+    np.testing.assert_allclose(out2, 1.0)
+    with pytest.raises(ValueError, match="doesn't match"):
+        n(np.ones((2, 2, 3), np.float32), switch=1)
+
+
+def test_scale_and_scale_norm():
+    s = Scale([[0, 10]], [[0, 20]])
+    x = np.full((2, 2, 1), 5.0, np.float32)
+    np.testing.assert_allclose(s(x, 1), 0.5)
+    np.testing.assert_allclose(s(x, 2), 0.25)
+    sn = ScaleNorm([[0, 10]], [[0, 10]], scale=(-1, 1))
+    np.testing.assert_allclose(sn(x, 1), 0.0)
+
+
+def test_dataset_meanstd_cache_roundtrip(usss, tmp_path):
+    ds = ScenePairDataset(usss["x"], usss["y"], patch_size=(48, 48), overlap_padding=(0, 0))
+    p1, p2 = str(tmp_path / "s1.txt"), str(tmp_path / "s2.txt")
+    mx, sx, my, sy = dataset_meanstd(p1, p2, ds)
+    assert len(mx) == 3 and all(s > 0 for s in sx)
+    # cache hit must reproduce identical values through the txt format
+    mx2, sx2, my2, sy2 = dataset_meanstd(p1, p2, None)
+    np.testing.assert_allclose(mx, mx2)
+    np.testing.assert_allclose(sy, sy2)
+    # txt format parity: "mean: v v v\nstd: v v v"
+    first = open(p1).readline()
+    assert first.startswith("mean:")
+
+
+def test_stats_ignore_zero_padding(usss):
+    """Stats over padded tiles == stats over the unpadded grid (zeros masked)."""
+    ds_nopad = ScenePairDataset(usss["x"], usss["y"], patch_size=(48, 48), overlap_padding=(0, 0))
+    ds_pad = ScenePairDataset(usss["x"], usss["y"], patch_size=(56, 56), overlap_padding=(4, 4))
+    from fcdgan_tpu.data.stats import dataset_mean
+
+    m1, _ = dataset_mean(ds_nopad)
+    m2, _ = dataset_mean(ds_pad)
+    # same scene pixels, different tiling: padded zeros excluded -> near-equal
+    # (overlap double-counts interior pixels, so only approximate equality)
+    np.testing.assert_allclose(m1, m2, rtol=0.02)
+
+
+def test_stitched_writeback_reconstructs_scene(usss, tmp_path):
+    out = str(tmp_path / "density.tif")
+    ds = ScenePairDataset(usss["x"], usss["y"], out_path=out,
+                          patch_size=(48, 48), overlap_padding=(4, 4))
+    # write back each tile's x band 0 -> output must equal source band 0
+    for item in range(len(ds)):
+        x, _, _, _ = ds[item]
+        ds.write_default(x[..., 0], item)
+    ds.close_outputs()
+    r = TiffReader(out)
+    src = TiffReader(usss["x"])
+    np.testing.assert_allclose(r.read_block()[..., 0], src.read_block()[..., 0], atol=1e-5)
+    np.testing.assert_allclose(r.geotransform, src.geotransform)
+
+
+def test_region_dataset_binarizes(usss, tmp_path):
+    # region raster with 0/255 coding
+    import fcdgan_tpu.data.tiff as tiffm
+
+    region_path = str(tmp_path / "region.tif")
+    reg = np.zeros((80, 96), np.uint8)
+    reg[10:30, 10:40] = 255
+    with tiffm.TiffWriter(region_path, 96, 80, 1, np.uint8) as w:
+        w.write_block(reg)
+    ds = RegionScenePairDataset(usss["x"], usss["y"], region_path=region_path,
+                                ref_path=usss["ref"], patch_size=(48, 48),
+                                overlap_padding=(4, 4))
+    x, y, item, ref, region = ds[0]
+    assert set(np.unique(region)).issubset({0.0, 1.0})
+    assert region.sum() > 0
+
+
+def test_whu_dataset_label_selection(tmp_path):
+    d = make_whu_dataset(str(tmp_path / "whu"), n_changed=3, n_unchanged=5)
+    all_ds = WHUDataset(d["before"], d["after"], d["Label"], d["root"], "-1")
+    c_ds = WHUDataset(d["before"], d["after"], d["Label"], d["root"], "1")
+    nc_ds = WHUDataset(d["before"], d["after"], d["Label"], d["root"], "0")
+    every = WHUDataset(d["before"], d["after"], d["Label"], d["root"], "-2")
+    assert len(all_ds) == 8 and len(c_ds) == 3 and len(nc_ds) == 5 and len(every) == 8
+    x, y, ref, item, label = c_ds[0]
+    assert x.shape == (48, 48, 3) and ref.shape == (48, 48, 1)
+    assert label[2] == 1 and ref.max() == 1.0
+    x, y, ref, item, label = nc_ds[0]
+    assert label[2] == 0 and ref.max() == 0.0
+
+
+def test_whu_pair_order_reset_covers_all(tmp_path):
+    d = make_whu_dataset(str(tmp_path / "whu2"), n_changed=2, n_unchanged=7)
+    import random
+
+    pair = WHUPairDataset(d["before"], d["after"], d["Label"], d["root"],
+                          random_assign=False, rng=random.Random(0))
+    assert len(pair) == 7
+    # base class (larger) indexed identically; smaller repeated w/ shuffling
+    assert sorted(pair.nc_order) == list(range(7))
+    assert set(pair.c_order).issubset({0, 1})
+    c, nc = pair[3]
+    assert c[4][2] == 1 and nc[4][2] == 0  # labels: changed vs unchanged
+    before = list(pair.c_order)
+    pair.order_reset()
+    assert len(pair.c_order) == 7  # re-paired each epoch
+
+
+def test_oscd_dataset_multi_scene(tmp_path):
+    root = str(tmp_path / "oscd")
+    make_oscd_dataset(root, train_scenes=("alpha", "beta"), xsize=64, ysize=64)
+    ds = OSCDDataset(root, "train.txt", patch_size=(40, 40), overlap_padding=(4, 4))
+    assert len(ds.dslist) == 2
+    assert len(ds) == sum(ds.numlist)
+    x, y, item, ref, region = ds[len(ds) - 1]  # item from second scene
+    assert x.shape == (40, 40, 4)
+    assert set(np.unique(region)).issubset({0.0, 1.0})
+    y0, y1, x0, x1 = ds.eff_range(len(ds) - 1)
+    assert (y0, x0) == (4, 4)
+
+    # per-(filter, scene) writers
+    for item in range(len(ds)):
+        xx, _, _, _, _ = ds[item]
+        ds.write(xx[..., 0], item, "density_test.tif")
+    ds.close_outputs()
+    for scene in ("alpha", "beta"):
+        out = os.path.join(root, scene, "ImagePair", "density_test.tif")
+        assert os.path.exists(out)
+        r = TiffReader(out)
+        src = ds.dslist[0].ds.raster_x
+        assert (r.xsize, r.ysize) == (64, 64)
+
+
+def test_batch_loader_fixed_shapes_and_weights(usss):
+    ds = ScenePairDataset(usss["x"], usss["y"], ref_path=usss["ref"],
+                          patch_size=(48, 48), overlap_padding=(4, 4))
+    loader = BatchLoader(ds, batch_size=4, fields=("x", "y", "item", "ref"), shuffle=True, seed=1)
+    seen = []
+    for batch in loader:
+        assert batch.x.shape == (4, 48, 48, 3)
+        assert batch.weight.shape == (4,)
+        seen.extend(batch.item[batch.weight > 0].tolist())
+    assert sorted(seen) == list(range(len(ds)))  # each tile exactly once
+    n_batches = len(loader)
+    assert n_batches == (len(ds) + 3) // 4
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    out = list(prefetch(iter(range(10)), depth=3))
+    assert out == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("kaput")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="kaput"):
+        list(it)
+
+
+def test_pair_batch_loader(tmp_path):
+    d = make_whu_dataset(str(tmp_path / "whu3"), n_changed=3, n_unchanged=4)
+    import random
+
+    pair = WHUPairDataset(d["before"], d["after"], d["Label"], d["root"],
+                          random_assign=False, rng=random.Random(0))
+    loader = PairBatchLoader(
+        pair, batch_size=2,
+        c_fields=("x", "y", "ref", "item", "label"),
+        nc_fields=("x", "y", "ref", "item", "label"),
+        shuffle=True, seed=0,
+        epoch_hook=lambda e: pair.order_reset(),
+    )
+    batches = list(loader)
+    assert batches[0].c_x.shape == (2, 48, 48, 3)
+    assert batches[0].nc_x.shape == (2, 48, 48, 3)
+    assert (batches[0].c_label[:, 2] == 1).all()
+    assert (batches[0].nc_label[:, 2] == 0).all()
