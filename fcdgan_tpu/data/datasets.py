@@ -149,6 +149,10 @@ class ScenePairDataset:
         else:
             raster.write_block(interior, core[0], core[1])
 
+    def interior_sizes(self) -> np.ndarray:
+        """(n_tiles, 2) core (h, w) per item for on-device interior masks."""
+        return self.grid.interior_sizes()
+
     def close_outputs(self):
         if self._out is not None and hasattr(self._out, "close"):
             self._out.close()
@@ -284,6 +288,10 @@ class OSCDDataset:
 
     # keep the reference's public name too
     EffRange = eff_range
+
+    def interior_sizes(self) -> np.ndarray:
+        """Concatenated per-scene core sizes, indexed by global item."""
+        return np.concatenate([d.ds.grid.interior_sizes() for d in self.dslist])
 
     def write(self, out_image: np.ndarray, item: int, filter_name: str):
         """Stitch into the per-(filter, scene) output raster
