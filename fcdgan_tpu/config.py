@@ -1,0 +1,205 @@
+"""Dataclass configs for the three drivers, defaults mirroring the reference.
+
+The reference's "config system" is the constants block at the top of each demo
+script (Demo_USSS.py:33-76, Demo_WSSS.py:31-66, Demo_RSSS.py:31-67;
+README.md:17-26 documents editing those lines). Here each mode gets a
+dataclass with those exact defaults plus TPU-native extras (mesh size, dtype,
+MS-SSIM level override for small tiles, VGG weight path), overridable from the
+command line via :func:`parse_cli`."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class CommonExtras:
+    pass
+
+
+def _tpu_extras():
+    return dict(
+        msssim_weights=None,       # None = reference 5-scale MS-SSIM
+        seed=0,
+        n_devices=None,            # None = single device; N = data-parallel mesh
+        vgg_npz=None,              # converted torchvision weights (tools/convert_vgg.py)
+        prefetch_depth=2,
+        log_tensorboard=True,
+        save_checkpoints=True,
+        progress=True,
+    )
+
+
+@dataclasses.dataclass
+class USSSConfig:
+    """Unsupervised mode (defaults: Demo_USSS.py:33-76)."""
+
+    dir: str = "/data"
+    image_x_name: str = "T1.tif"
+    image_y_name: str = "T2.tif"
+    ref_name: str = "ref.tif"
+    outdir: Optional[str] = None  # None -> dir
+    ext: str = ""
+    cmap_name: str = "ChangeDensity"
+    stats_name: str = "stats"
+
+    init_num_epochs_g: int = 50
+    init_num_epochs_s: int = 50
+    num_epochs: int = 100
+    learning_rate: float = 0.0002
+    batch_size: int = 10
+
+    perception_weight: float = 0.4
+    l1_weight: float = 0.65
+    ssim_weight: float = 0.0
+    perception_per_band: bool = True
+    perception_layer: int = 1
+
+    patch_size: Tuple[int, int] = (220, 220)
+    overlap_padding: Tuple[int, int] = (10, 10)
+    gt_map: Tuple[int, int] = (1, 2)
+    pre_map: Tuple[int, int] = (0, 1)
+    prob_thresh: float = 0.5
+    write_color: bool = True
+    discriminator_continuous: bool = True
+    tips: str = "eval_patch"
+
+    msssim_weights: Optional[Tuple[float, ...]] = None
+    platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
+    seed: int = 0
+    n_devices: Optional[int] = None
+    vgg_npz: Optional[str] = None
+    prefetch_depth: int = 2
+    log_tensorboard: bool = True
+    save_checkpoints: bool = True
+    progress: bool = True
+
+
+@dataclasses.dataclass
+class WSSSConfig:
+    """Weakly supervised mode (defaults: Demo_WSSS.py:31-66)."""
+
+    img_dir_x: str = ""
+    img_dir_y: str = ""
+    ref_dir: str = ""
+    label_dir: str = ""
+    out_g_model_dir: str = ""
+    ext: str = ""
+    out_dir: Optional[str] = None  # None -> {label_dir}/Detection_WSS{ext}
+
+    init_num_epochs_g: int = 50
+    num_epochs: int = 50
+    learning_rate: float = 0.0005
+    unc_batch_size: int = 50
+    batch_size: int = 15
+    prob_thresh: float = 0.6
+    tips: str = "train"
+
+    perception_weight: float = 0.5
+    ssim_weight: float = 0.0
+    perception_per_band: bool = False
+    perception_layer: int = 1
+
+    g_weight: float = 0.2
+    l1_weight: float = 1.6
+    d_weight: float = 1.0
+    nc_weight: float = 1.5
+
+    write_grey: bool = True
+    write_color: bool = True
+    model_g_reuse: bool = True
+    discriminator_continuous: bool = True
+    stats_name: str = "stats"
+
+    msssim_weights: Optional[Tuple[float, ...]] = None
+    platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
+    seed: int = 0
+    n_devices: Optional[int] = None
+    vgg_npz: Optional[str] = None
+    prefetch_depth: int = 2
+    log_tensorboard: bool = True
+    save_checkpoints: bool = True
+    progress: bool = True
+
+
+@dataclasses.dataclass
+class RSSSConfig:
+    """Regional supervised mode (defaults: Demo_RSSS.py:31-67)."""
+
+    img_dir: str = ""
+    out_g_model_dir: str = ""
+    txt_name: str = "train.txt"
+    test_txt_name: str = "test.txt"
+    out_name_density: str = "density"
+    out_name_binary: str = "color"
+    ext: str = ""
+
+    init_num_epochs_g: int = 50
+    num_epochs: int = 100
+    learning_rate: float = 0.00005
+    init_batch_size: int = 20
+    batch_size: int = 12
+
+    patch_size: Tuple[int, int] = (200, 200)
+    overlap_padding: Tuple[int, int] = (10, 10)
+    gt_map: Tuple[int, int] = (1, 2)
+    pre_map: Tuple[int, int] = (0, 1)
+    prob_thresh: float = 0.5
+    tips: str = ""
+
+    perception_weight: float = 0.1
+    ssim_weight: float = 0.0
+    perception_per_band: bool = True
+    perception_layer: int = 1
+
+    l1_weight: float = 0.02
+    g_weight: float = 0.5
+    d_weight: float = 1.0
+    r_weight: float = 2.0
+
+    write_color: bool = True
+    model_g_reuse: bool = True
+    discriminator_continuous: bool = True
+    stats_name: str = "statsMS"
+
+    msssim_weights: Optional[Tuple[float, ...]] = None
+    platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
+    seed: int = 0
+    n_devices: Optional[int] = None
+    vgg_npz: Optional[str] = None
+    prefetch_depth: int = 2
+    log_tensorboard: bool = True
+    save_checkpoints: bool = True
+    progress: bool = True
+
+
+def _parse_tuple(s: str):
+    return tuple(float(v) if "." in v else int(v) for v in s.split(","))
+
+
+def parse_cli(config_cls, argv=None):
+    """Build a config from CLI flags: every dataclass field becomes --field.
+
+    Field types come from the annotation string (not the default value), so
+    Optional fields with ``None`` defaults still parse — e.g.
+    ``--msssim-weights 0.5,0.5`` is a tuple and ``--n-devices 8`` an int."""
+    ap = argparse.ArgumentParser(description=config_cls.__doc__)
+    for f in dataclasses.fields(config_cls):
+        name = "--" + f.name.replace("_", "-")
+        default = f.default
+        ann = str(f.type)
+        if "bool" in ann or isinstance(default, bool):
+            ap.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                            default=default)
+        elif "Tuple" in ann or "tuple" in ann or isinstance(default, tuple):
+            ap.add_argument(name, type=_parse_tuple, default=default)
+        elif "int" in ann or (isinstance(default, int) and not isinstance(default, bool)):
+            ap.add_argument(name, type=int, default=default)
+        elif "float" in ann or isinstance(default, float):
+            ap.add_argument(name, type=float, default=default)
+        else:
+            ap.add_argument(name, type=str, default=default)
+    args = ap.parse_args(argv)
+    return config_cls(**{f.name: getattr(args, f.name) for f in dataclasses.fields(config_cls)})

@@ -153,6 +153,71 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         yield item
 
 
+class NativeSceneBatchLoader(BatchLoader):
+    """BatchLoader over a ScenePairDataset whose x/y tile assembly runs in the
+    native C++ thread pool (fcdgan_tpu/native). The 1-band reference tile
+    still goes through the Python path (it's a fraction of the bytes).
+
+    Falls back to the plain Python loader semantics for everything else —
+    identical batches, same fields, same wrap padding."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, n_threads: Optional[int] = None):
+        from .. import native
+
+        if not native.native_available():
+            raise RuntimeError(f"native tileio unavailable: {native.build_error()}")
+        if dataset.transforms is not None:
+            raise ValueError("native loader does not support sync transforms")
+        enhance = dataset.enhance
+        kw = {}
+        if enhance is not None:
+            from .normalize import Normalize
+
+            if not isinstance(enhance, Normalize):
+                raise ValueError("native loader supports Normalize enhance only")
+            kw = dict(mean_x=enhance.meansX, std_x=enhance.stdX,
+                      mean_y=enhance.meansY, std_y=enhance.stdY)
+        self._asm = native.NativePairAssembler(
+            dataset.raster_x.path, dataset.raster_y.path,
+            dataset.patch_size, dataset.overlap_padding,
+            n_threads=n_threads, **kw)
+        super().__init__(dataset, batch_size, fields=("x", "y", "item", "ref"),
+                         shuffle=shuffle, seed=seed)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            weight = np.ones(len(idx), np.float32)
+            if len(idx) < bs:
+                extra = order[: bs - len(idx)]
+                if len(extra) < bs - len(idx):
+                    extra = np.resize(order, bs - len(idx))
+                idx = np.concatenate([idx, extra])
+                weight = np.concatenate([weight, np.zeros(bs - len(weight), np.float32)])
+            x, y = self._asm.assemble(idx.tolist())
+            refs = []
+            ph, pw = self.dataset.patch_size[1], self.dataset.patch_size[0]
+            for i in idx:
+                if self.dataset.raster_ref is not None:
+                    _, read, write = self.dataset.grid.slices(int(i))
+                    ref = np.zeros((ph, pw, 1), np.float32)
+                    r = self.dataset.raster_ref.read_block(*read).astype(np.float32)
+                    ref[write[1]:write[1] + write[3], write[0]:write[0] + write[2], :] = r
+                else:
+                    ref = np.zeros((ph, pw, 1), np.float32)
+                refs.append(ref)
+            batch = Batch(x=x, y=y, item=np.asarray(idx, np.int64),
+                          ref=np.stack(refs), weight=weight)
+            yield batch
+
+
 def device_put_batch(batch: Dict, sharding=None) -> Dict:
     """Move a host batch to device(s); with a NamedSharding the batch axis is
     split across the data-parallel mesh in a single transfer."""

@@ -1,0 +1,278 @@
+"""Regional supervised change detection driver (reference: /root/reference/Demo_RSSS.py).
+
+End-to-end flow (call-stack parity with SURVEY.md section 3.3): per-scene
+stats/normalizers over the OSCD layout -> G pretrain with the REGION raster as
+mask (modelG_reuse shortcut) -> adversarial S vs D with region-synthesized
+unchanged pairs + region losses -> per-epoch test-set evaluation -> final
+density/color rasters per scene -> SModel/GModel/DModel checkpoints, Para txt.
+
+Run: ``python -m fcdgan_tpu.demos.demo_rsss --img-dir /OSCD-10m-Dataset``
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from ..config import RSSSConfig, parse_cli
+from ..data.datasets import OSCDDataset, ScenePairDataset
+from ..data.normalize import Normalize
+from ..data.pipeline import BatchLoader, prefetch
+from ..data.stats import dataset_meanstd
+from ..eval.changemap import write_changemap_gdal
+from ..eval.evaluator import Evaluator
+from ..io.checkpoint import model_g_reuse, save_net
+from ..io.records import ScalarWriter, segmentation_summary, write_para_txt
+from ..models import Discriminator, Generator, Segmentor
+from ..models.vgg import load_vgg16_params, select_feature_layers
+from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, shard_batch
+from ..train import schedules
+from ..train.loops import EpochAverages, Progress, accuracy_line
+from ..train.optim import adam, rmsprop
+from ..train.state import create_net_state
+from ..train.steps import PerceptionConfig, RSSSSteps
+
+
+def _scene_scalers(img_dir: str, txt_name: str, patch_size, stats_name: str) -> List:
+    """Per-scene normalizers with cached statsMS txts (Demo_RSSS.py:75-97)."""
+    tmp = OSCDDataset(img_dir, txt_name)
+    scalers = []
+    for path in tmp.pathlist:
+        img_x, img_y = path[0], path[1]
+        cur_dir, name_x = os.path.split(img_x)
+        _, name_y = os.path.split(img_y)
+        name_x, _ = os.path.splitext(name_x)
+        name_y, _ = os.path.splitext(name_y)
+        ds_tmp = ScenePairDataset(img_x, img_y, patch_size=patch_size,
+                                  overlap_padding=(0, 0))
+        sp1 = os.path.join(cur_dir, "{}_{}.txt".format(name_x, stats_name))
+        sp2 = os.path.join(cur_dir, "{}_{}.txt".format(name_y, stats_name))
+        mean_x, std_x, mean_y, std_y = dataset_meanstd(sp1, sp2, ds_tmp)
+        scalers.append(Normalize(mean_x, std_x, mean_y, std_y))
+    return scalers
+
+
+def run(cfg: RSSSConfig) -> Dict:
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    out_dir = os.path.join(cfg.img_dir, "model{}".format(cfg.ext))
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(cfg.out_g_model_dir, exist_ok=True)
+
+    # -- datasets with per-scene normalizers (Demo_RSSS.py:75-134) -----------
+    train_scalers = _scene_scalers(cfg.img_dir, cfg.txt_name, cfg.patch_size, cfg.stats_name)
+    dataset = OSCDDataset(cfg.img_dir, cfg.txt_name, scaler=train_scalers,
+                          transforms=[None] * len(train_scalers),
+                          patch_size=cfg.patch_size, overlap_padding=cfg.overlap_padding)
+    total = len(dataset)
+    test_scalers = _scene_scalers(cfg.img_dir, cfg.test_txt_name, cfg.patch_size, cfg.stats_name)
+    test_dataset = OSCDDataset(cfg.img_dir, cfg.test_txt_name, scaler=test_scalers,
+                               transforms=None, patch_size=cfg.patch_size,
+                               overlap_padding=cfg.overlap_padding)
+    total_test = len(test_dataset)
+
+    fields = ("x", "y", "item", "ref", "region")
+    init_loader = BatchLoader(dataset, cfg.init_batch_size, fields=fields,
+                              shuffle=True, seed=cfg.seed)
+    train_loader = BatchLoader(dataset, cfg.batch_size, fields=fields,
+                               shuffle=True, seed=cfg.seed + 1)
+    test_loader = BatchLoader(test_dataset, cfg.batch_size, fields=fields, shuffle=False)
+
+    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+
+    def put(batch):
+        if mesh is not None:
+            batch = pad_batch_to_multiple(batch, mesh.devices.size)
+        return shard_batch(batch, mesh)
+
+    # -- models / optimizers (Demo_RSSS.py:137-158) --------------------------
+    nband = dataset[0][0].shape[-1]
+    net_g = Generator(nband)
+    net_s = Segmentor(nband, bilinear=True)
+    net_d = Discriminator(nband)
+    tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
+    vggp = load_vgg16_params(cfg.vgg_npz)
+    steps = RSSSSteps(
+        net_g, net_s, net_d, tx_g, tx_s, tx_d, vggp,
+        PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band),
+        cfg.perception_weight, cfg.ssim_weight, cfg.g_weight, cfg.l1_weight,
+        cfg.d_weight, cfg.r_weight,
+        dataset.interior_sizes(), cfg.overlap_padding,
+        cfg.gt_map, cfg.pre_map, cfg.prob_thresh,
+        cfg.discriminator_continuous, cfg.msssim_weights,
+        test_interior_sizes=test_dataset.interior_sizes(),
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
+    gstate = create_net_state(net_g, key, (zx,), tx_g)
+    sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+    dstate = create_net_state(net_d, jax.random.fold_in(key, 2), (zx, zx), tx_d)
+
+    gstate, init_epochs_g = model_g_reuse(
+        cfg.out_g_model_dir, gstate, cfg.init_num_epochs_g, cfg.model_g_reuse)
+
+    if mesh is not None:
+        gstate = replicate_state(gstate, mesh)
+        sstate = replicate_state(sstate, mesh)
+        dstate = replicate_state(dstate, mesh)
+
+    writer = ScalarWriter(comment="RSSS_OSCD{}".format(cfg.ext),
+                          enabled=cfg.log_tensorboard)
+
+    # -- phase 1: G pretrain with region masks (Demo_RSSS.py:173-238) --------
+    print("Start Generator Training")
+    for i in range(init_epochs_g):
+        lr = schedules.G_PRETRAIN(i)
+        av = EpochAverages(total)
+        prog = Progress(total, lambda: init_epochs_g - 1 - i, cfg.progress)
+        for batch in prefetch(iter(init_loader), cfg.prefetch_depth):
+            prog.start_batch()
+            db = put(batch)
+            gstate, m = steps.g_pretrain(gstate, db["x"], db["y"], db["region"],
+                                         db["weight"], lr)
+            bw = float(np.asarray(batch["weight"]).sum())
+            av.update(m, bw)
+            prog.end_batch(int(bw))
+        prog.finish()
+        print("Epochs: {}/{}, g_loss: {:.4f}, generator_loss: {:.4f}, "
+              "perception_loss:{:.4f}, ssim_loss:{:.4f}".format(
+                  i + 1, init_epochs_g, av["g_loss"], av["generator_loss"],
+                  av["perception_loss"], av["ssim_loss"]))
+        writer.add_scalars({k: av[k] for k in
+                            ("g_loss", "generator_loss", "perception_loss", "ssim_loss")}, i)
+
+    # -- phase 2: adversarial + per-epoch test eval (Demo_RSSS.py:244-447) ---
+    print("Start Adversarial Training")
+    results_last_test = None
+    for i in range(cfg.num_epochs):
+        lr_s = schedules.S_ADV_RSSS(i)
+        lr_d = schedules.D_ADV_RSSS(i)
+        av = EpochAverages(total)
+        prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
+        for batch in prefetch(iter(train_loader), cfg.prefetch_depth):
+            prog.start_batch()
+            db = put(batch)
+            sstate, dstate, m = steps.adversarial(
+                sstate, dstate, gstate, db["x"], db["y"], db["ref"], db["region"],
+                db["item"], db["weight"], lr_s, lr_d)
+            bw = float(np.asarray(batch["weight"]).sum())
+            av.update(m, bw)
+            prog.end_batch(int(bw))
+        prog.finish()
+        ev = av.evaluator(len(cfg.gt_map))
+        print("Epochs: {}/{}, d_loss: {:.4f}, g_loss: {:.4f}, s_loss: {:.4f}, "
+              "l1_loss:{:.4f}, s_d_loss: {:.4f}, r_loss: {:.4f}".format(
+                  i + 1, cfg.num_epochs, av["d_loss"], av["g_loss"], av["s_loss"],
+                  av["l1_loss"], av["s_d_loss"], av["r_loss"]))
+        print(accuracy_line(i, cfg.num_epochs, ev))
+        step = i + init_epochs_g
+        writer.add_scalars({k: av[k] for k in
+                            ("g_loss", "d_loss", "s_loss", "s_d_loss", "l1_loss",
+                             "r_loss", "generator_loss", "perception_loss",
+                             "ssim_loss")}, step)
+        _log_accuracy(writer, ev, step, prefix="")
+
+        # per-epoch test evaluation (Demo_RSSS.py:399-447)
+        test_acc = Evaluator(num_class=len(cfg.gt_map))
+        for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+            db = put(batch)
+            cm, _ = steps.eval_confusion(sstate, db["x"], db["y"], db["ref"],
+                                         db["item"], db["weight"])
+            test_acc.add_confusion(np.asarray(cm))
+        miou, ciou = test_acc.Mean_Intersection_over_Union()
+        print("Test Dataset: Overall Accuracy: {:.4f}, Kappa: {:.4f}, "
+              "Precision Rate: {:.4f}, Recall Rate: {:.4f}, F1:{:.4f}, "
+              "mIOU:{:.4f}, cIoU:{:.4f}".format(
+                  test_acc.Pixel_Accuracy(), test_acc.Pixel_Kappa(),
+                  test_acc.Pixel_Precision_Rate(), test_acc.Pixel_Recall_Rate(),
+                  test_acc.Pixel_F1_score(), miou, ciou))
+        _log_accuracy(writer, test_acc, step, prefix="Test ")
+        results_last_test = test_acc
+
+    # -- final inference: density + color rasters per scene (:449-504) -------
+    print("Saving Change Map and Model")
+    print("Segmentation of Change")
+    acc = Evaluator(num_class=len(cfg.gt_map))
+    density_name = "{}{}".format(cfg.out_name_density, cfg.ext)
+    color_name = "{}{}".format(cfg.out_name_binary, cfg.ext)
+    for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+        db = put(batch)
+        cmap = np.asarray(steps.infer(sstate, db["x"], db["y"]))
+        cmask = (cmap > cfg.prob_thresh).astype(np.int16)
+        for ns in range(len(batch["weight"])):
+            if batch["weight"][ns] == 0:
+                continue
+            item = int(batch["item"][ns])
+            test_dataset.write(cmap[ns], item, density_name)
+            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+            cmask_chw = np.moveaxis(cmask[ns], -1, 0)
+            codes = write_changemap_gdal(cmask_chw, ref_chw, write_color=cfg.write_color,
+                                         ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+            test_dataset.write(np.moveaxis(codes, 0, -1), item, color_name)
+            y0, y1, x0, x1 = test_dataset.eff_range(item)
+            acc.add_batch_map(ref_chw[0, y0:y1, x0:x1].astype(np.int16),
+                              cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
+                              list(cfg.gt_map), list(cfg.pre_map))
+    test_dataset.close_outputs()
+    print(segmentation_summary(acc))
+    print("\r" + "End of Saving", flush=True)
+
+    # -- save + Para txt (Demo_RSSS.py:506-538) -------------------------------
+    smodel_path = os.path.join(out_dir, "SModel.ckpt")
+    gmodel_path = os.path.join(cfg.out_g_model_dir, "GModel.ckpt")
+    dmodel_path = os.path.join(out_dir, "DModel.ckpt")
+    if cfg.save_checkpoints:
+        save_net(smodel_path, sstate)
+        save_net(gmodel_path, gstate)
+        save_net(dmodel_path, dstate)
+    writer.close()
+
+    para_path = write_para_txt(os.path.join(out_dir, "Para.txt"), {
+        "perception_weight": cfg.perception_weight,
+        "ssim_weight": cfg.ssim_weight,
+        "perception_perBand": cfg.perception_per_band,
+        "perception_layer": cfg.perception_layer,
+        "l1_weight": cfg.l1_weight,
+        "g_weight": cfg.g_weight,
+        "d_weight": cfg.d_weight,
+        "r_weight": cfg.r_weight,
+        "discriminator_continuous": cfg.discriminator_continuous,
+        "prob_thresh": cfg.prob_thresh,
+    }, acc=acc, tips=cfg.tips)
+
+    return {
+        "evaluator": acc,
+        "test_evaluator": results_last_test,
+        "out_dir": out_dir,
+        "density_name": density_name,
+        "color_name": color_name,
+        "para_path": para_path,
+        "smodel_path": smodel_path if cfg.save_checkpoints else None,
+        "gmodel_path": gmodel_path if cfg.save_checkpoints else None,
+        "dmodel_path": dmodel_path if cfg.save_checkpoints else None,
+        "sstate": sstate,
+        "gstate": gstate,
+        "dstate": dstate,
+        "test_dataset": test_dataset,
+    }
+
+
+def _log_accuracy(writer: ScalarWriter, ev: Evaluator, step: int, prefix: str = ""):
+    miou, ciou = ev.Mean_Intersection_over_Union()
+    writer.add_scalar(prefix + "Overall Accuracy:", ev.Pixel_Accuracy(), step)
+    writer.add_scalar(prefix + "Precision Rate", ev.Pixel_Precision_Rate(), step)
+    writer.add_scalar(prefix + "Recall Rate", ev.Pixel_Recall_Rate(), step)
+    writer.add_scalar(prefix + "F1", ev.Pixel_F1_score(), step)
+    writer.add_scalar(prefix + "mIOU", miou, step)
+    writer.add_scalar(prefix + "cIOU", ciou, step)
+
+
+def main(argv=None):
+    run(parse_cli(RSSSConfig, argv))
+
+
+if __name__ == "__main__":
+    main()

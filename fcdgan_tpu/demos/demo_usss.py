@@ -1,0 +1,283 @@
+"""Unsupervised change detection driver (reference: /root/reference/Demo_USSS.py).
+
+End-to-end flow (call-stack parity with SURVEY.md section 3.1):
+stats pass -> normalized tile dataset -> G pretrain (50 ep) -> S init (50 ep)
+-> joint alternating (100 ep, G-gradient accumulation) -> stitched
+change-density GeoTIFF + {TN,FN,FP,TP} color raster + final metrics ->
+SModel/GModel checkpoints + Para txt.
+
+TPU-native: fixed-shape prefetched batches, one jitted step per phase with
+on-device interior-masked confusion accumulation, optional data-parallel mesh
+(``config.n_devices``).
+
+Run: ``python -m fcdgan_tpu.demos.demo_usss --dir /data --ext _run1``
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import numpy as np
+
+from ..config import USSSConfig, parse_cli
+from ..data.datasets import ScenePairDataset
+from ..data.normalize import Normalize
+from ..data.pipeline import BatchLoader, prefetch
+from ..data.raster import create_raster
+from ..data.stats import dataset_meanstd
+from ..eval.changemap import write_changemap_gdal
+from ..eval.evaluator import Evaluator
+from ..io.checkpoint import save_net
+from ..io.records import ScalarWriter, timestamped_para_path, write_para_txt
+from ..models import Generator, Segmentor
+from ..models.vgg import load_vgg16_params, select_feature_layers
+from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, shard_batch
+from ..train import schedules
+from ..train.loops import EpochAverages, Progress, accuracy_line, metrics_line
+from ..train.optim import adam
+from ..train.state import create_net_state
+from ..train.steps import PerceptionConfig, USSSSteps
+
+
+def run(cfg: USSSConfig) -> Dict:
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    outdir = cfg.outdir or cfg.dir
+    img_x = os.path.join(cfg.dir, cfg.image_x_name)
+    img_y = os.path.join(cfg.dir, cfg.image_y_name)
+    ref_path = os.path.join(cfg.dir, cfg.ref_name)
+    stem1, ext1 = os.path.splitext(cfg.image_x_name)
+    stem2, _ = os.path.splitext(cfg.image_y_name)
+    cmap_name = "{}{}".format(cfg.cmap_name, cfg.ext)
+    out_path = os.path.join(outdir, cmap_name + ext1)
+    out_color_path = os.path.join(outdir, "{}_acc_color{}".format(cmap_name, ext1))
+
+    # -- stats pass + normalizer (Demo_USSS.py:88-95) -----------------------
+    stats_ds = ScenePairDataset(img_x, img_y, patch_size=cfg.patch_size,
+                                overlap_padding=(0, 0))
+    sp1 = os.path.join(cfg.dir, "{}_{}.txt".format(stem1, cfg.stats_name))
+    sp2 = os.path.join(cfg.dir, "{}_{}.txt".format(stem2, cfg.stats_name))
+    mean_x, std_x, mean_y, std_y = dataset_meanstd(sp1, sp2, stats_ds)
+    scaler = Normalize(mean_x, std_x, mean_y, std_y)
+
+    dataset = ScenePairDataset(img_x, img_y, ref_path=ref_path, out_path=out_path,
+                               enhance=scaler, patch_size=cfg.patch_size,
+                               overlap_padding=cfg.overlap_padding)
+    total = len(dataset)
+    # native C++ threaded tile assembly when the toolchain is available;
+    # identical batches through the Python path otherwise
+    loader = None
+    try:
+        from ..data.pipeline import NativeSceneBatchLoader
+
+        loader = NativeSceneBatchLoader(dataset, cfg.batch_size,
+                                        shuffle=True, seed=cfg.seed)
+    except Exception:
+        loader = BatchLoader(dataset, cfg.batch_size,
+                             fields=("x", "y", "item", "ref"),
+                             shuffle=True, seed=cfg.seed)
+
+    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+
+    def put(batch):
+        if mesh is not None:
+            batch = pad_batch_to_multiple(batch, mesh.devices.size)
+        return shard_batch(batch, mesh)
+
+    # -- models / steps (Demo_USSS.py:110-122) -------------------------------
+    nband = dataset.size()[2]
+    net_g = Generator(nband)
+    net_s = Segmentor(nband, bilinear=True)
+    tx_g, tx_s = adam(), adam()
+    vggp = load_vgg16_params(cfg.vgg_npz)
+    steps = USSSSteps(
+        net_g, net_s, tx_g, tx_s, vggp,
+        PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band),
+        cfg.perception_weight, cfg.l1_weight, cfg.ssim_weight,
+        dataset.interior_sizes(), cfg.overlap_padding,
+        cfg.gt_map, cfg.pre_map, cfg.prob_thresh, cfg.msssim_weights,
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
+    gstate = create_net_state(net_g, key, (zx,), tx_g)
+    sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+    if mesh is not None:
+        gstate = replicate_state(gstate, mesh)
+        sstate = replicate_state(sstate, mesh)
+
+    writer = ScalarWriter(comment="USSS{}".format(cfg.ext), enabled=cfg.log_tensorboard)
+
+    loss_keys = ("NetLoss", "generator_loss", "l1_loss", "perception_loss", "ssim_loss")
+    loss_labels = ("NetLoss Loss", "generator_loss Loss", "l1_loss Loss",
+                   "perception_loss", "ssim_loss")
+
+    def log_losses(av: EpochAverages, step: int):
+        for k in loss_keys:
+            writer.add_scalar(k.replace("NetLoss", "NetLoss"), av[k], step)
+
+    def loss_print(epoch, n_epochs, av):
+        parts = ", ".join("{}: {:.4f}".format(lbl, av[k])
+                          for lbl, k in zip(loss_labels, loss_keys))
+        print("Epochs: {}/{}, {}".format(epoch + 1, n_epochs, parts))
+
+    # -- phase 1: generator init (Demo_USSS.py:124-189) ---------------------
+    print("Start Initial Generator Training")
+    for i in range(cfg.init_num_epochs_g):
+        lr = schedules.G_PRETRAIN(i)
+        av = EpochAverages(total)
+        prog = Progress(total, lambda: cfg.init_num_epochs_g - 1 - i, cfg.progress)
+        for batch in prefetch(iter(loader), cfg.prefetch_depth):
+            prog.start_batch()
+            db = put(batch)
+            gstate, m = steps.g_pretrain(gstate, db["x"], db["y"], db["weight"], lr)
+            bw = float(np.asarray(batch["weight"]).sum())
+            av.update(m, bw)
+            prog.end_batch(int(bw))
+        prog.finish()
+        loss_print(i, cfg.init_num_epochs_g, av)
+        log_losses(av, i)
+
+    # -- phase 2: segmentor init (Demo_USSS.py:192-286) ---------------------
+    print("Start Initial Segmentor Training")
+    for i in range(cfg.init_num_epochs_s):
+        lr = schedules.S_INIT_USSS(i)
+        av = EpochAverages(total)
+        prog = Progress(total, lambda: cfg.init_num_epochs_s - 1 - i, cfg.progress)
+        for batch in prefetch(iter(loader), cfg.prefetch_depth):
+            prog.start_batch()
+            db = put(batch)
+            gstate, sstate, m = steps.s_init(
+                gstate, sstate, db["x"], db["y"], db["ref"], db["item"],
+                db["weight"], lr)
+            bw = float(np.asarray(batch["weight"]).sum())
+            av.update(m, bw)
+            prog.end_batch(int(bw))
+        prog.finish()
+        ev = av.evaluator(len(cfg.gt_map))
+        loss_print(i, cfg.init_num_epochs_s, av)
+        print(accuracy_line(i, cfg.init_num_epochs_s, ev))
+        step = i + cfg.init_num_epochs_g
+        log_losses(av, step)
+        _log_accuracy(writer, ev, step)
+
+    # -- phase 3: joint alternating (Demo_USSS.py:289-400) ------------------
+    print("Start Training")
+    for i in range(cfg.num_epochs):
+        lr_s = schedules.JOINT_USSS(i)
+        lr_g = schedules.JOINT_USSS(i)
+        av = EpochAverages(total)
+        prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
+        for batch in prefetch(iter(loader), cfg.prefetch_depth):
+            prog.start_batch()
+            db = put(batch)
+            gstate, sstate, m = steps.joint(
+                gstate, sstate, db["x"], db["y"], db["ref"], db["item"],
+                db["weight"], lr_g, lr_s)
+            bw = float(np.asarray(batch["weight"]).sum())
+            av.update(m, bw)
+            prog.end_batch(int(bw))
+        prog.finish()
+        ev = av.evaluator(len(cfg.gt_map))
+        loss_print(i, cfg.num_epochs, av)
+        print(accuracy_line(i, cfg.num_epochs, ev))
+        step = i + cfg.init_num_epochs_g + cfg.init_num_epochs_s
+        log_losses(av, step)
+        _log_accuracy(writer, ev, step)
+
+    # -- inference + stitched write-back (Demo_USSS.py:404-473) -------------
+    print("Saving Change Map and Model")
+    print("Segmentation of Change")
+    test_loader = BatchLoader(dataset, cfg.batch_size,
+                              fields=("x", "y", "item", "ref"), shuffle=False)
+    acc = Evaluator(num_class=len(cfg.gt_map))
+    out_color = None
+    pad = cfg.overlap_padding
+    processed = 0
+    for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+        db = put(batch)
+        cmap = np.asarray(steps.infer(sstate, db["x"], db["y"]))
+        cmask = (cmap > cfg.prob_thresh).astype(np.int16)
+        for ns in range(len(batch["weight"])):
+            if batch["weight"][ns] == 0:
+                continue
+            item = int(batch["item"][ns])
+            dataset.write_default(cmap[ns], item)
+            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+            cmask_chw = np.moveaxis(cmask[ns], -1, 0)
+            if cfg.write_color:
+                if out_color is None:
+                    xs, ys, _ = dataset.size()
+                    out_color = create_raster(out_color_path, xs, ys, 1, np.int32,
+                                              like=dataset.raster_x)
+                codes = write_changemap_gdal(cmask_chw, ref_chw, write_color=True,
+                                             ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+                dataset.write(np.moveaxis(codes, 0, -1).astype(np.int32), item, out_color)
+            y0, y1, x0, x1 = dataset.grid.interior(item)
+            acc.add_batch_map(
+                ref_chw[0, y0:y1, x0:x1].astype(np.int16),
+                cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
+                list(cfg.gt_map), list(cfg.pre_map),
+            )
+        processed += int(np.asarray(batch["weight"]).sum())
+        if cfg.progress:
+            print("\rProcessing batch: {}/{}".format(processed, total), end="", flush=True)
+    if cfg.progress:
+        print("\r", end="", flush=True)
+    from ..io.records import segmentation_summary
+
+    print(segmentation_summary(acc))
+    print("\r" + "End of Saving", flush=True)
+    dataset.close_outputs()
+    if out_color is not None and hasattr(out_color, "close"):
+        out_color.close()
+
+    # -- save + Para txt (Demo_USSS.py:477-501) ------------------------------
+    smodel_path = os.path.join(outdir, "SModel{}.ckpt".format(cfg.ext))
+    gmodel_path = os.path.join(outdir, "GModel{}.ckpt".format(cfg.ext))
+    if cfg.save_checkpoints:
+        save_net(smodel_path, sstate)
+        save_net(gmodel_path, gstate)
+    writer.close()
+
+    para_path = timestamped_para_path(outdir, cfg.ext)
+    write_para_txt(para_path, {
+        "perception_weight": cfg.perception_weight,
+        "ssim_weight": cfg.ssim_weight,
+        "perception_perBand": cfg.perception_per_band,
+        "perception_layer": cfg.perception_layer,
+        "l1_weight": cfg.l1_weight,
+        "discriminator_continuous": cfg.discriminator_continuous,
+        "prob_thresh": cfg.prob_thresh,
+    }, acc=acc, tips=cfg.tips)
+
+    return {
+        "evaluator": acc,
+        "density_path": out_path,
+        "color_path": out_color_path if cfg.write_color else None,
+        "para_path": para_path,
+        "smodel_path": smodel_path if cfg.save_checkpoints else None,
+        "gmodel_path": gmodel_path if cfg.save_checkpoints else None,
+        "sstate": sstate,
+        "gstate": gstate,
+    }
+
+
+def _log_accuracy(writer: ScalarWriter, ev: Evaluator, step: int):
+    miou, ciou = ev.Mean_Intersection_over_Union()
+    writer.add_scalar("Overall Accuracy:", ev.Pixel_Accuracy(), step)
+    writer.add_scalar("Precision Rate", ev.Pixel_Precision_Rate(), step)
+    writer.add_scalar("Recall Rate", ev.Pixel_Recall_Rate(), step)
+    writer.add_scalar("Kappa Coefficient:", ev.Pixel_Kappa(), step)
+    writer.add_scalar("F1", ev.Pixel_F1_score(), step)
+    writer.add_scalar("mIOU", miou, step)
+    writer.add_scalar("cIOU", ciou, step)
+
+
+def main(argv=None):
+    run(parse_cli(USSSConfig, argv))
+
+
+if __name__ == "__main__":
+    main()

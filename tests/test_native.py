@@ -1,0 +1,98 @@
+"""Native C++ tile reader vs the Python codecs — bit-for-bit agreement."""
+
+import numpy as np
+import pytest
+
+from fcdgan_tpu.data.datasets import ScenePairDataset
+from fcdgan_tpu.data.envi import write_envi
+from fcdgan_tpu.data.normalize import Normalize
+from fcdgan_tpu.data.synthetic import make_usss_scene
+from fcdgan_tpu.data.tiff import TiffReader, TiffWriter
+
+native = pytest.importorskip("fcdgan_tpu.native")
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(),
+    reason=f"native toolchain unavailable: {native.build_error()}",
+)
+
+
+def test_native_tiff_window_reads(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(57, 43, 3)).astype(np.float32)
+    p = str(tmp_path / "t.tif")
+    with TiffWriter(p, 43, 57, 3, np.float32) as w:
+        w.write_block(data)
+    r = native.NativeRaster(p)
+    assert (r.xsize, r.ysize, r.nband) == (43, 57, 3)
+    np.testing.assert_array_equal(r.read_block(), data)
+    np.testing.assert_array_equal(r.read_block(5, 7, 11, 13), data[7:20, 5:16])
+    r.close()
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int32, np.float64])
+def test_native_tiff_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(1)
+    if np.issubdtype(dtype, np.floating):
+        data = rng.normal(size=(20, 20, 1)).astype(dtype)
+    else:
+        data = rng.integers(0, 100, (20, 20, 1)).astype(dtype)
+    p = str(tmp_path / "d.tif")
+    with TiffWriter(p, 20, 20, 1, dtype) as w:
+        w.write_block(data)
+    r = native.NativeRaster(p)
+    np.testing.assert_allclose(r.read_block()[..., 0], data[..., 0].astype(np.float32))
+
+
+def test_native_tiff_deflate_via_pil(tmp_path):
+    """PIL writes deflate-compressed TIFFs; the native reader must decode."""
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 255, (30, 40, 3)).astype(np.uint8)
+    p = str(tmp_path / "z.tif")
+    Image.fromarray(data).save(p, compression="tiff_adobe_deflate")
+    r = native.NativeRaster(p)
+    np.testing.assert_array_equal(r.read_block().astype(np.uint8), data)
+
+
+def test_native_envi_interleaves(tmp_path):
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(17, 23, 4)).astype(np.float32)
+    for il in ("bsq", "bil", "bip"):
+        p = str(tmp_path / f"e_{il}")
+        write_envi(p, data, interleave=il)
+        r = native.NativeRaster(p)
+        np.testing.assert_allclose(r.read_block(), data, rtol=1e-6)
+        np.testing.assert_allclose(r.read_block(3, 2, 9, 7), data[2:9, 3:12], rtol=1e-6)
+
+
+def test_native_batch_assembly_matches_python_dataset(tmp_path):
+    paths = make_usss_scene(str(tmp_path / "s"), 96, 80, 3)
+    mean_x, std_x = [100.0, 101.0, 99.0], [30.0, 31.0, 29.0]
+    mean_y, std_y = [105.0, 106.0, 104.0], [32.0, 33.0, 31.0]
+    scaler = Normalize(mean_x, std_x, mean_y, std_y)
+    ds = ScenePairDataset(paths["x"], paths["y"], enhance=scaler,
+                          patch_size=(48, 48), overlap_padding=(4, 4))
+    asm = native.NativePairAssembler(
+        paths["x"], paths["y"], (48, 48), (4, 4),
+        mean_x, std_x, mean_y, std_y)
+    items = list(range(len(ds)))
+    nx, ny = asm.assemble(items)
+    for i in items:
+        px, py, _, _ = ds[i]
+        np.testing.assert_allclose(nx[i], px, atol=1e-5)
+        np.testing.assert_allclose(ny[i], py, atol=1e-5)
+    asm.close()
+
+
+def test_native_assembly_without_normalization(tmp_path):
+    paths = make_usss_scene(str(tmp_path / "s2"), 64, 64, 3)
+    ds = ScenePairDataset(paths["x"], paths["y"], patch_size=(40, 40),
+                          overlap_padding=(4, 4))
+    asm = native.NativePairAssembler(paths["x"], paths["y"], (40, 40), (4, 4))
+    nx, ny = asm.assemble(list(range(len(ds))))
+    for i in range(len(ds)):
+        px, py, _, _ = ds[i]
+        np.testing.assert_allclose(nx[i], px, atol=1e-5)
+        np.testing.assert_allclose(ny[i], py, atol=1e-5)

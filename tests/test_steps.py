@@ -15,7 +15,7 @@ from fcdgan_tpu.train.state import NetState, create_net_state
 from fcdgan_tpu.train.steps import PerceptionConfig, RSSSSteps, USSSSteps, WSSSSteps
 
 MSW = (0.5, 0.5)
-HW = 48
+HW = 32
 
 
 @pytest.fixture(scope="module")
@@ -87,38 +87,86 @@ def test_usss_s_init_updates_both_stats(usss, usss_states, batch):
     assert total == 2 * (HW - 8) * (HW - 8)  # interior-only eval
 
 
-def test_usss_joint_gradient_identity(usss, usss_states, batch, vggp):
-    """gradG == d(LossG + NetLoss)/dG and gradS == d(NetLoss)/dS."""
-    g, s = usss_states
+from flax import linen as _nn  # noqa: E402
+
+
+class TinyGen(_nn.Module):
+    n_channels: int = 3
+
+    @_nn.compact
+    def __call__(self, x, train: bool = True):
+        h = _nn.Conv(8, (3, 3), padding=1)(x)
+        h = _nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = _nn.relu(h)
+        return _nn.Conv(self.n_channels, (3, 3), padding=1)(h)
+
+
+class TinySeg(_nn.Module):
+    @_nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        h = jnp.concatenate([x1, x2], axis=-1)
+        h = _nn.Conv(8, (3, 3), padding=1)(h)
+        h = _nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = _nn.relu(h)
+        return _nn.sigmoid(_nn.Conv(1, (3, 3), padding=1)(h))
+
+
+def _tiny_usss(vggp, tx=None):
+    import optax
+
+    tx = tx or adam()
+    interior = np.array([[HW - 8, HW - 8]] * 8, np.int32)
+    # shallow perception tap (relu1_2) keeps these semantics tests cheap
+    return USSSSteps(
+        TinyGen(3), TinySeg(), tx, tx, vggp,
+        PerceptionConfig((3,), per_band=False),
+        perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
+        interior_sizes=interior, pad=(4, 4), msssim_weights=MSW,
+    )
+
+
+def test_usss_joint_gradient_identity(batch, vggp):
+    """gradG == d(LossG + NetLoss)/dG and gradS == d(NetLoss)/dS.
+
+    Tiny stand-in models keep this a semantics test, not a scale test."""
+    steps = _tiny_usss(vggp)
+    k = jax.random.PRNGKey(0)
     x, y, w = jnp.asarray(batch["x"]), jnp.asarray(batch["y"]), jnp.asarray(batch["w"])
-    pw, l1w, sw = usss.pw, usss.l1w, usss.sw
+    g = create_net_state(steps.G, k, (x,), adam())
+    s = create_net_state(steps.S, jax.random.fold_in(k, 1), (x, x), adam())
+    pw, l1w, sw = steps.pw, steps.l1w, steps.sw
 
     def losses_of(pg, ps):
-        y_fake, _ = usss.G.apply({"params": pg, "batch_stats": g.batch_stats},
-                                 x, train=True, mutable=["batch_stats"])
-        cmap, _ = usss.S.apply({"params": ps, "batch_stats": s.batch_stats},
-                               x, y, train=True, mutable=["batch_stats"])
+        y_fake, _ = steps.G.apply({"params": pg, "batch_stats": g.batch_stats},
+                                  x, train=True, mutable=["batch_stats"])
+        cmap, _ = steps.S.apply({"params": ps, "batch_stats": s.batch_stats},
+                                x, y, train=True, mutable=["batch_stats"])
         gen, l1, perc, ssim = L.cnet_loss(
-            y, y_fake, cmap, vggp, select_feature_layers(1),
-            perception_per_band=True, msssim_weights=MSW, sample_weight=w)
+            y, y_fake, cmap, vggp, (3,),
+            perception_per_band=False, msssim_weights=MSW, sample_weight=w)
         loss_g = gen + pw * perc + sw * ssim
         net_loss = gen + l1w * l1 + pw * perc + sw * ssim
         return loss_g, net_loss
 
     # explicit two-backward reference semantics
-    grad_g_expected = jax.grad(lambda pg: losses_of(pg, s.params)[0]
-                               + losses_of(pg, s.params)[1])(g.params)
-    grad_s_expected = jax.grad(lambda ps: losses_of(g.params, ps)[1])(s.params)
+    grad_g_expected = jax.jit(jax.grad(
+        lambda pg: losses_of(pg, s.params)[0] + losses_of(pg, s.params)[1]
+    ))(g.params)
+    grad_s_expected = jax.jit(jax.grad(lambda ps: losses_of(g.params, ps)[1]))(s.params)
 
     # what the fused joint step computes internally (reproduce its vjp)
-    def fwd(pg, ps):
-        lg, nl = losses_of(pg, ps)
-        return lg, nl - lg  # (A, l1w*l1) decomposition equivalent
+    @jax.jit
+    def fused(pg, ps):
+        def fwd(pg_, ps_):
+            lg, nl = losses_of(pg_, ps_)
+            return lg, nl - lg  # (A, l1w*l1) decomposition equivalent
 
-    (a, rest), vjp_fn = jax.vjp(fwd, g.params, s.params)
-    d_pg, d_ps = vjp_fn((jnp.ones(()), jnp.ones(())))
-    grad_g_fused = jax.tree.map(lambda t: 2.0 * t, vjp_fn((jnp.ones(()), jnp.zeros(())))[0])
-    grad_s_fused = d_ps
+        _, vjp_fn = jax.vjp(fwd, pg, ps)
+        d_pg_a, _ = vjp_fn((jnp.ones(()), jnp.zeros(())))
+        _, d_ps = vjp_fn((jnp.ones(()), jnp.ones(())))
+        return jax.tree.map(lambda t: 2.0 * t, d_pg_a), d_ps
+
+    grad_g_fused, grad_s_fused = fused(g.params, s.params)
 
     for a_, b_ in zip(jax.tree.leaves(grad_g_fused), jax.tree.leaves(grad_g_expected)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=2e-5)
@@ -245,34 +293,43 @@ def test_rsss_g_pretrain_with_region_mask(rsss, batch):
 # ---------------------------------------------------------------------------
 
 
-def test_usss_joint_step_dp_equivalence(usss, usss_states, batch):
+def test_usss_joint_step_dp_equivalence(batch, vggp):
+    """Sharded batch over an 8-device mesh == single-device run.
+
+    Tiny models with BatchNorm: GSPMD must compute global-batch BN statistics
+    and all-reduce the gradients with no code changes to the step."""
     import jax
-    from fcdgan_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    import optax
+    from fcdgan_tpu.parallel.mesh import (
+        make_mesh, pad_batch_to_multiple, replicate_state, shard_batch)
 
-    g, s = usss_states
-    # single-device reference
-    g1, s1, m1 = usss.joint(g, s, batch["x"], batch["y"], batch["ref"],
-                            batch["item"], batch["w"], 1e-4, 1e-4)
+    # plain SGD: the param delta is lr * grad, so near-zero gradients can't
+    # amplify reduction-order noise into sign flips (as Adam's first step does)
+    sgd = optax.scale(-1.0)
+    steps = _tiny_usss(vggp, tx=sgd)
+    k = jax.random.PRNGKey(0)
+    x = jnp.asarray(batch["x"])
+    g = create_net_state(steps.G, k, (x,), sgd)
+    s = create_net_state(steps.S, jax.random.fold_in(k, 1), (x, x), sgd)
 
-    # 8-way DP: pad batch 2 -> 8 with weight-0 wraps, shard over the mesh
-    from fcdgan_tpu.parallel.mesh import pad_batch_to_multiple
+    # single-device run on the full 8-sample batch (2 real + 6 weight-0 pads
+    # so the DP run sees identical BN batches)
+    hb = pad_batch_to_multiple(dict(
+        x=batch["x"], y=batch["y"], ref=batch["ref"],
+        item=batch["item"], weight=batch["w"]), 8)
+    g1, s1, m1 = steps.joint(g, s, hb["x"], hb["y"], hb["ref"],
+                             hb["item"], hb["weight"], 1e-4, 1e-4)
 
     mesh = make_mesh(8)
-    hb = dict(x=batch["x"], y=batch["y"], ref=batch["ref"],
-              item=batch["item"], weight=batch["w"])
-    hb = pad_batch_to_multiple(hb, 8)
     db = shard_batch(hb, mesh)
-    g_r = replicate_state(g, mesh)
-    s_r = replicate_state(s, mesh)
-    g8, s8, m8 = usss.joint(g_r, s_r, db["x"], db["y"], db["ref"],
-                            db["item"], db["weight"], 1e-4, 1e-4)
+    g8, s8, m8 = steps.joint(replicate_state(g, mesh), replicate_state(s, mesh),
+                             db["x"], db["y"], db["ref"], db["item"],
+                             db["weight"], 1e-4, 1e-4)
 
-    # losses and confusion must match the single-device run
     np.testing.assert_allclose(float(m1["NetLoss"]), float(m8["NetLoss"]), rtol=5e-3)
     np.testing.assert_allclose(np.asarray(m1["confusion"]), np.asarray(m8["confusion"]))
-    # updated S params must match too (weight-0 pads contribute nothing to the
-    # loss; BN sees the padded duplicates, which are real images, so compare
-    # only the loss-driven param update direction on a sample leaf)
-    l1 = jax.tree.leaves(s1.params)[0]
-    l8 = jax.tree.leaves(s8.params)[0]
-    assert np.isfinite(np.asarray(l8)).all()
+    # updated params must match leaf-by-leaf (global-batch BN + psum grads)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
