@@ -34,12 +34,19 @@ def main():
     from fcdgan_tpu.train.state import create_net_state
     from fcdgan_tpu.train.steps import PerceptionConfig, USSSSteps
 
-    # reference USSS production config (Demo_USSS.py:33-76)
+    # reference USSS production config (Demo_USSS.py:33-76); mixed precision
+    # by default (bf16 MXU compute, f32 losses/BN) — FCDGAN_BENCH_DTYPE=float32
+    # for the exact-parity dtype
+    import os
+
     batch, hw, nband = 10, 220, 3
     pad = (10, 10)
+    dtype = (jnp.bfloat16
+             if os.environ.get("FCDGAN_BENCH_DTYPE", "bfloat16") == "bfloat16"
+             else None)
 
-    net_g = Generator(nband)
-    net_s = Segmentor(nband, bilinear=True)
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
     tx_g, tx_s = adam(), adam()
     interior = np.tile([[hw - 2 * pad[1], hw - 2 * pad[0]]], (batch, 1)).astype(np.int32)
     steps = USSSSteps(
@@ -61,8 +68,8 @@ def main():
     item = jnp.arange(batch, dtype=jnp.int32)
     w = jnp.ones(batch, jnp.float32)
 
-    # compile + measure FLOPs of the jitted step
-    lowered = jax.jit(steps._joint).lower(gstate, sstate, x, y, ref, item, w, 1e-4, 1e-4)
+    # compile + measure FLOPs of the jitted step (state buffers donated)
+    lowered = steps.joint.lower(gstate, sstate, x, y, ref, item, w, 1e-4, 1e-4)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):

@@ -15,24 +15,6 @@ from typing import Optional, Tuple
 
 
 @dataclasses.dataclass
-class CommonExtras:
-    pass
-
-
-def _tpu_extras():
-    return dict(
-        msssim_weights=None,       # None = reference 5-scale MS-SSIM
-        seed=0,
-        n_devices=None,            # None = single device; N = data-parallel mesh
-        vgg_npz=None,              # converted torchvision weights (tools/convert_vgg.py)
-        prefetch_depth=2,
-        log_tensorboard=True,
-        save_checkpoints=True,
-        progress=True,
-    )
-
-
-@dataclasses.dataclass
 class USSSConfig:
     """Unsupervised mode (defaults: Demo_USSS.py:33-76)."""
 
@@ -68,6 +50,7 @@ class USSSConfig:
 
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
+    compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     seed: int = 0
     n_devices: Optional[int] = None
     vgg_npz: Optional[str] = None
@@ -115,6 +98,7 @@ class WSSSConfig:
 
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
+    compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     seed: int = 0
     n_devices: Optional[int] = None
     vgg_npz: Optional[str] = None
@@ -166,6 +150,7 @@ class RSSSConfig:
 
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
+    compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     seed: int = 0
     n_devices: Optional[int] = None
     vgg_npz: Optional[str] = None

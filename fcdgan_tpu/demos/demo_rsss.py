@@ -15,6 +15,7 @@ import os
 from typing import Dict, List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import RSSSConfig, parse_cli
@@ -90,9 +91,10 @@ def run(cfg: RSSSConfig) -> Dict:
 
     # -- models / optimizers (Demo_RSSS.py:137-158) --------------------------
     nband = dataset[0][0].shape[-1]
-    net_g = Generator(nband)
-    net_s = Segmentor(nband, bilinear=True)
-    net_d = Discriminator(nband)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_d = Discriminator(nband, dtype=dtype)
     tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
     vggp = load_vgg16_params(cfg.vgg_npz)
     steps = RSSSSteps(

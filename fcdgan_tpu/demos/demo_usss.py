@@ -19,6 +19,7 @@ import os
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import USSSConfig, parse_cli
@@ -88,8 +89,9 @@ def run(cfg: USSSConfig) -> Dict:
 
     # -- models / steps (Demo_USSS.py:110-122) -------------------------------
     nband = dataset.size()[2]
-    net_g = Generator(nband)
-    net_s = Segmentor(nband, bilinear=True)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
     tx_g, tx_s = adam(), adam()
     vggp = load_vgg16_params(cfg.vgg_npz)
     steps = USSSSteps(
@@ -192,6 +194,9 @@ def run(cfg: USSSConfig) -> Dict:
     test_loader = BatchLoader(dataset, cfg.batch_size,
                               fields=("x", "y", "item", "ref"), shuffle=False)
     acc = Evaluator(num_class=len(cfg.gt_map))
+    from ..eval.roc import RocCurve
+
+    roc = RocCurve()  # AUC extension (no reference counterpart)
     out_color = None
     pad = cfg.overlap_padding
     processed = 0
@@ -220,6 +225,8 @@ def run(cfg: USSSConfig) -> Dict:
                 cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
                 list(cfg.gt_map), list(cfg.pre_map),
             )
+            roc.add_batch(cmap[ns, y0:y1, x0:x1, 0],
+                          (ref_chw[0, y0:y1, x0:x1] == cfg.gt_map[1]))
         processed += int(np.asarray(batch["weight"]).sum())
         if cfg.progress:
             print("\rProcessing batch: {}/{}".format(processed, total), end="", flush=True)
@@ -228,6 +235,7 @@ def run(cfg: USSSConfig) -> Dict:
     from ..io.records import segmentation_summary
 
     print(segmentation_summary(acc))
+    print("AUC: {:.4f}".format(roc.auc()))
     print("\r" + "End of Saving", flush=True)
     dataset.close_outputs()
     if out_color is not None and hasattr(out_color, "close"):
@@ -254,6 +262,7 @@ def run(cfg: USSSConfig) -> Dict:
 
     return {
         "evaluator": acc,
+        "auc": roc.auc(),
         "density_path": out_path,
         "color_path": out_color_path if cfg.write_color else None,
         "para_path": para_path,

@@ -17,6 +17,7 @@ import random
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import WSSSConfig, parse_cli
@@ -82,7 +83,10 @@ def run(cfg: WSSSConfig) -> Dict:
     sample = unc_ds[0][0] if total_unc else pair_ds[0][0][0]
     nband = sample.shape[-1]
     hw = sample.shape[:2]
-    net_g, net_s, net_d = Generator(nband), Segmentor(nband, bilinear=True), Discriminator(nband)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_d = Discriminator(nband, dtype=dtype)
     tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
     vggp = load_vgg16_params(cfg.vgg_npz)
     steps = WSSSSteps(

@@ -156,6 +156,7 @@ def cnet_loss(
     generator_mask_switch: bool = False,
     msssim_weights: Optional[Sequence[float]] = None,
     sample_weight: Optional[jnp.ndarray] = None,
+    ssim_grad: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """USSS loss tuple (generator, l1, perception, ssim) (parity: Loss.py:64-95).
 
@@ -179,6 +180,11 @@ def cnet_loss(
         per_band=perception_per_band, sample_weight=sample_weight,
     )
 
+    # when the driver weights SSIM at 0 (all reference demos do,
+    # Demo_USSS.py:42) the value is still reported but its backward pass is
+    # cut — XLA cannot fold 0*grad because of NaN semantics
+    if not ssim_grad:
+        tm, gm = jax.lax.stop_gradient(tm), jax.lax.stop_gradient(gm)
     ssim_per = ssim_mod.ms_ssim(
         tm, gm, data_range=1.0, size_average=False, weights=msssim_weights
     )
@@ -195,6 +201,7 @@ def cgenerator_loss(
     perception_per_band: bool = False,
     msssim_weights: Optional[Sequence[float]] = None,
     sample_weight: Optional[jnp.ndarray] = None,
+    ssim_grad: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """WSSS/RSSS loss tuple (generator, ssim, perception) (parity: Loss.py:100-124).
 
@@ -209,6 +216,8 @@ def cgenerator_loss(
     keep = (num_wnc > 0).astype(per.dtype)
     generator_loss = (per * keep * w).sum() / wn
 
+    if not ssim_grad:
+        tm, gm = jax.lax.stop_gradient(tm), jax.lax.stop_gradient(gm)
     ssim_per = ssim_mod.ms_ssim(
         tm, gm, data_range=1.0, size_average=False, weights=msssim_weights
     )

@@ -85,6 +85,12 @@ def _wmean(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return (x * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def _f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Model outputs come back in the compute dtype (bf16 under mixed
+    precision); losses/metrics always run in f32."""
+    return x.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # USSS — unsupervised (Demo_USSS.py)
 # ---------------------------------------------------------------------------
@@ -125,16 +131,18 @@ class USSSSteps:
         self.prob_thresh = prob_thresh
         self.msw = tuple(msssim_weights) if msssim_weights is not None else None
 
-        self.g_pretrain = jax.jit(self._g_pretrain)
-        self.s_init = jax.jit(self._s_init)
-        self.joint = jax.jit(self._joint)
+        # donated states: the caller rebinds on every step, so the old
+        # buffers feed the outputs in place (no HBM churn; no-op on CPU)
+        self.g_pretrain = jax.jit(self._g_pretrain, donate_argnums=(0,))
+        self.s_init = jax.jit(self._s_init, donate_argnums=(0, 1))
+        self.joint = jax.jit(self._joint, donate_argnums=(0, 1))
         self.infer = jax.jit(self._infer)
 
     def _cnet(self, y, y_fake, cmap, w):
         return L.cnet_loss(
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
-            sample_weight=w,
+            sample_weight=w, ssim_grad=self.sw != 0,
         )
 
     def _confusion(self, cmap, ref, item, w):
@@ -152,7 +160,7 @@ class USSSSteps:
                 {"params": pg, "batch_stats": gstate.batch_stats},
                 x, train=True, mutable=["batch_stats"],
             )
-            gen, l1, perc, ssim = self._cnet(y, y_fake, cmap, w)
+            gen, l1, perc, ssim = self._cnet(y, _f32(y_fake), cmap, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, l1, perc, ssim)
 
@@ -171,13 +179,14 @@ class USSSSteps:
         y_fake, g_muts = self.G.apply(
             gstate.variables, x, train=True, mutable=["batch_stats"]
         )
-        y_fake = jax.lax.stop_gradient(y_fake)
+        y_fake = jax.lax.stop_gradient(_f32(y_fake))
 
         def loss_fn(ps):
             cmap, muts = self.S.apply(
                 {"params": ps, "batch_stats": sstate.batch_stats},
                 x, y, train=True, mutable=["batch_stats"],
             )
+            cmap = _f32(cmap)
             gen, l1, perc, ssim = self._cnet(y, y_fake, cmap, w)
             loss = gen + self.l1w * l1 + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, l1, perc, ssim, cmap)
@@ -204,6 +213,7 @@ class USSSSteps:
                 {"params": ps, "batch_stats": sstate.batch_stats},
                 x, y, train=True, mutable=["batch_stats"],
             )
+            y_fake, cmap = _f32(y_fake), _f32(cmap)
             gen, l1, perc, ssim = self._cnet(y, y_fake, cmap, w)
             a = gen + self.pw * perc + self.sw * ssim  # == LossG
             aux = (g_muts["batch_stats"], s_muts["batch_stats"], gen, l1, perc, ssim, cmap)
@@ -229,7 +239,7 @@ class USSSSteps:
 
     # -- inference (:404-473) -------------------------------------------------
     def _infer(self, sstate: NetState, x, y):
-        return self.S.apply(sstate.variables, x, y, train=False)
+        return _f32(self.S.apply(sstate.variables, x, y, train=False))
 
 
 # ---------------------------------------------------------------------------
@@ -268,8 +278,8 @@ class WSSSSteps:
         self.continuous = discriminator_continuous
         self.msw = tuple(msssim_weights) if msssim_weights is not None else None
 
-        self.g_pretrain = jax.jit(self._g_pretrain)
-        self.adversarial = jax.jit(self._adversarial)
+        self.g_pretrain = jax.jit(self._g_pretrain, donate_argnums=(0,))
+        self.adversarial = jax.jit(self._adversarial, donate_argnums=(0, 1))
         self.infer = jax.jit(self._infer)
         self.infer_train_mode = jax.jit(self._infer_train_mode)
 
@@ -277,7 +287,7 @@ class WSSSSteps:
         return L.cgenerator_loss(
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
-            sample_weight=w,
+            sample_weight=w, ssim_grad=self.sw != 0,
         )
 
     # -- G pretrain on unchanged pairs, cmap = 0 (Demo_WSSS.py:140-204) -----
@@ -289,7 +299,7 @@ class WSSSSteps:
                 {"params": pg, "batch_stats": gstate.batch_stats},
                 x, train=True, mutable=["batch_stats"],
             )
-            gen, ssim, perc = self._cgen(y, y_fake, cmap, w)
+            gen, ssim, perc = self._cgen(y, _f32(y_fake), cmap, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, ssim, perc)
 
@@ -312,11 +322,13 @@ class WSSSSteps:
         cmap, s_muts = self.S.apply(
             sstate.variables, c_x, c_y, train=True, mutable=["batch_stats"]
         )
+        cmap = _f32(cmap)
         s_bs1 = s_muts["batch_stats"]
         ncmap, s_muts = self.S.apply(
             {"params": sstate.params, "batch_stats": s_bs1},
             nc_x, nc_y, train=True, mutable=["batch_stats"],
         )
+        ncmap = _f32(ncmap)
         s_bs2 = s_muts["batch_stats"]
 
         cmask_sg = jax.lax.stop_gradient(
@@ -337,7 +349,7 @@ class WSSSSteps:
                 {"params": pd, "batch_stats": muts["batch_stats"]},
                 xm_nc_sg, ym_nc_sg, train=True, mutable=["batch_stats"],
             )
-            d_loss = 1.0 + _wmean(nc_out, w) - _wmean(c_out, w)
+            d_loss = 1.0 + _wmean(_f32(nc_out), w) - _wmean(_f32(c_out), w)
             return d_loss, muts["batch_stats"]
 
         (d_loss, d_bs2), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -348,7 +360,7 @@ class WSSSSteps:
         # --- frozen-G branch (eval mode: netG.eval(), Demo_WSSS.py:206) -----
         if self.gw != 0:
             y_fake = self.G.apply(gstate.variables, c_x, train=False)
-            y_fake = jax.lax.stop_gradient(y_fake)
+            y_fake = jax.lax.stop_gradient(_f32(y_fake))
         else:
             y_fake = None
 
@@ -358,16 +370,19 @@ class WSSSSteps:
                 {"params": ps, "batch_stats": sstate.batch_stats},
                 c_x, c_y, train=True, mutable=["batch_stats"],
             )
+            cmap_s = _f32(cmap_s)
             ncmap_s, _ = self.S.apply(
                 {"params": ps, "batch_stats": s_bs1},
                 nc_x, nc_y, train=True, mutable=["batch_stats"],
             )
+            ncmap_s = _f32(ncmap_s)
             cmask = cmap_s if self.continuous else L.hard_mask(cmap_s)
             xm, ym = self._mask_pair(c_x, c_y, cmask)
             c_out, muts = self.D.apply(
                 {"params": jax.lax.stop_gradient(pd), "batch_stats": d_bs2},
                 xm, ym, train=True, mutable=["batch_stats"],
             )
+            c_out = _f32(c_out)
             nc_loss = _wmean(jnp.mean(ncmap_s**2, axis=(1, 2, 3)), w)
             if y_fake is not None:
                 gen, ssim, perc = self._cgen(c_y, y_fake, cmap_s, w)
@@ -403,14 +418,14 @@ class WSSSSteps:
         return sstate, dstate, metrics
 
     def _infer(self, sstate: NetState, x, y):
-        return self.S.apply(sstate.variables, x, y, train=False)
+        return _f32(self.S.apply(sstate.variables, x, y, train=False))
 
     def _infer_train_mode(self, sstate: NetState, x, y):
         """Final WSSS inference intentionally keeps train-mode BN ("train mode
         gets better performance", Demo_WSSS.py:389-391); running stats are not
         persisted."""
         out, _ = self.S.apply(sstate.variables, x, y, train=True, mutable=["batch_stats"])
-        return out
+        return _f32(out)
 
 
 # ---------------------------------------------------------------------------
@@ -461,8 +476,8 @@ class RSSSSteps:
         self.continuous = discriminator_continuous
         self.msw = tuple(msssim_weights) if msssim_weights is not None else None
 
-        self.g_pretrain = jax.jit(self._g_pretrain)
-        self.adversarial = jax.jit(self._adversarial)
+        self.g_pretrain = jax.jit(self._g_pretrain, donate_argnums=(0,))
+        self.adversarial = jax.jit(self._adversarial, donate_argnums=(0, 1))
         self.infer = jax.jit(self._infer)
         self.eval_confusion = jax.jit(self._eval_confusion)
 
@@ -470,7 +485,7 @@ class RSSSSteps:
         return L.cgenerator_loss(
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
-            sample_weight=w,
+            sample_weight=w, ssim_grad=self.sw != 0,
         )
 
     # -- G pretrain with the REGION raster as mask (Demo_RSSS.py:200-205) ---
@@ -480,7 +495,7 @@ class RSSSSteps:
                 {"params": pg, "batch_stats": gstate.batch_stats},
                 x, train=True, mutable=["batch_stats"],
             )
-            gen, ssim, perc = self._cgen(y, y_fake, region, w)
+            gen, ssim, perc = self._cgen(y, _f32(y_fake), region, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, ssim, perc)
 
@@ -499,6 +514,7 @@ class RSSSSteps:
         cmap, s_muts = self.S.apply(
             sstate.variables, x, y, train=True, mutable=["batch_stats"]
         )
+        cmap = _f32(cmap)
         s_bs = s_muts["batch_stats"]
 
         cmask_sg = jax.lax.stop_gradient(
@@ -521,7 +537,7 @@ class RSSSSteps:
                 {"params": pd, "batch_stats": muts["batch_stats"]},
                 x_unc_sg, y_unc_sg, train=True, mutable=["batch_stats"],
             )
-            d_loss = 1.0 + _wmean(nc_out, w) - _wmean(c_out, w)
+            d_loss = 1.0 + _wmean(_f32(nc_out), w) - _wmean(_f32(c_out), w)
             return d_loss, muts["batch_stats"]
 
         (d_loss, d_bs2), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -531,13 +547,14 @@ class RSSSSteps:
 
         # frozen generator, eval mode (netG.eval(), Demo_RSSS.py:240)
         y_fake = self.G.apply(gstate.variables, x, train=False)
-        y_fake = jax.lax.stop_gradient(y_fake)
+        y_fake = jax.lax.stop_gradient(_f32(y_fake))
 
         def s_loss_fn(ps):
             cmap_s, _ = self.S.apply(
                 {"params": ps, "batch_stats": sstate.batch_stats},
                 x, y, train=True, mutable=["batch_stats"],
             )
+            cmap_s = _f32(cmap_s)
             cmask = cmap_s if self.continuous else L.hard_mask(cmap_s)
             xm = x * (1 - cmask)
             ym = y * (1 - cmask)
@@ -549,7 +566,7 @@ class RSSSSteps:
             g_loss = gen + self.pw * perc + self.sw * ssim
             l1_loss = L.region_loss(cmap_s, region, "l1", sample_weight=w)
             r_loss = L.region_loss(cmap_s, 1 - region, "mse", sample_weight=w)
-            s_d_loss = _wmean(c_out, w)
+            s_d_loss = _wmean(_f32(c_out), w)
             s_loss = (self.dw * s_d_loss + self.l1w * l1_loss
                       + self.gw * g_loss + self.rw * r_loss)
             aux = (muts["batch_stats"], s_d_loss, l1_loss, r_loss, g_loss,
@@ -579,9 +596,9 @@ class RSSSSteps:
         return confusion_update(ref[..., 0], cmask, self.gt_map, self.pre_map, valid)
 
     def _infer(self, sstate: NetState, x, y):
-        return self.S.apply(sstate.variables, x, y, train=False)
+        return _f32(self.S.apply(sstate.variables, x, y, train=False))
 
     def _eval_confusion(self, sstate: NetState, x, y, ref, item, w):
         """Per-epoch test eval over interiors (Demo_RSSS.py:399-447)."""
-        cmap = self.S.apply(sstate.variables, x, y, train=False)
+        cmap = _f32(self.S.apply(sstate.variables, x, y, train=False))
         return self._confusion(cmap, ref, item, w, self.test_interior), cmap

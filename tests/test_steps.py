@@ -18,6 +18,12 @@ MSW = (0.5, 0.5)
 HW = 32
 
 
+def clone(state):
+    """Fresh buffers: step jits donate their state arguments, so tests that
+    reuse a fixture must hand each call its own copy."""
+    return jax.tree.map(jnp.array, state)
+
+
 @pytest.fixture(scope="module")
 def vggp():
     return load_vgg16_params()
@@ -60,7 +66,7 @@ def usss_states(usss):
 
 
 def test_usss_g_pretrain_descends(usss, usss_states, batch):
-    g, _ = usss_states
+    g = clone(usss_states[0])
     losses = []
     for i in range(4):
         g, m = usss.g_pretrain(g, batch["x"], batch["y"], batch["w"], 1e-3)
@@ -70,8 +76,8 @@ def test_usss_g_pretrain_descends(usss, usss_states, batch):
 
 
 def test_usss_s_init_updates_both_stats(usss, usss_states, batch):
-    g, s = usss_states
-    g2, s2, m = usss.s_init(g, s, batch["x"], batch["y"], batch["ref"],
+    g, s = clone(usss_states[0]), clone(usss_states[1])
+    g2, s2, m = usss.s_init(clone(g), clone(s), batch["x"], batch["y"], batch["ref"],
                             batch["item"], batch["w"], 1e-4)
     # G params unchanged, G batch_stats updated (train-mode forward parity)
     assert jax.tree.all(jax.tree.map(lambda a, b: bool((a == b).all()),
@@ -175,8 +181,8 @@ def test_usss_joint_gradient_identity(batch, vggp):
 
 
 def test_usss_joint_step_runs_and_updates(usss, usss_states, batch):
-    g, s = usss_states
-    g2, s2, m = usss.joint(g, s, batch["x"], batch["y"], batch["ref"],
+    g, s = clone(usss_states[0]), clone(usss_states[1])
+    g2, s2, m = usss.joint(clone(g), clone(s), batch["x"], batch["y"], batch["ref"],
                            batch["item"], batch["w"], 1e-4, 1e-4)
     for k in ("NetLoss", "generator_loss", "l1_loss", "perception_loss", "ssim_loss"):
         assert np.isfinite(float(m[k])), k
@@ -218,7 +224,7 @@ def test_wsss_adversarial_step(wsss, batch):
 
     c_ref = (batch["ref"] - 1.0)  # {0,1} coding for WSSS
     s2, d2, m = wsss.adversarial(
-        s, d, g, batch["x"], batch["y"], c_ref,
+        clone(s), clone(d), g, batch["x"], batch["y"], c_ref,
         batch["y"], batch["y"], batch["w"], 1e-4, 1e-5,
     )
     for key in ("d_loss", "s_loss", "s_d_loss", "l1_loss", "nc_loss", "g_loss"):
@@ -265,14 +271,14 @@ def test_rsss_adversarial_step(rsss, batch):
     s = create_net_state(rsss.S, jax.random.fold_in(k, 1), (x, x), rmsprop())
     d = create_net_state(rsss.D, jax.random.fold_in(k, 2), (x, x), rmsprop())
     s2, d2, m = rsss.adversarial(
-        s, d, g, batch["x"], batch["y"], batch["ref"], batch["region"],
+        clone(s), clone(d), g, batch["x"], batch["y"], batch["ref"], batch["region"],
         batch["item"], batch["w"], 5e-5, 5e-5,
     )
     for key in ("d_loss", "s_loss", "s_d_loss", "l1_loss", "r_loss", "g_loss"):
         assert np.isfinite(float(m[key])), key
     assert m["confusion"].shape == (2, 2)
 
-    cm, cmap = rsss.eval_confusion(s2, batch["x"], batch["y"], batch["ref"],
+    cm, cmap = rsss.eval_confusion(clone(s2), batch["x"], batch["y"], batch["ref"],
                                    batch["item"], batch["w"])
     assert cm.shape == (2, 2) and cmap.shape == (2, HW, HW, 1)
 
@@ -317,7 +323,7 @@ def test_usss_joint_step_dp_equivalence(batch, vggp):
     hb = pad_batch_to_multiple(dict(
         x=batch["x"], y=batch["y"], ref=batch["ref"],
         item=batch["item"], weight=batch["w"]), 8)
-    g1, s1, m1 = steps.joint(g, s, hb["x"], hb["y"], hb["ref"],
+    g1, s1, m1 = steps.joint(clone(g), clone(s), hb["x"], hb["y"], hb["ref"],
                              hb["item"], hb["weight"], 1e-4, 1e-4)
 
     mesh = make_mesh(8)
