@@ -61,6 +61,32 @@ def gaussian_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _ssim_maps_dispatch(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float,
+    win_size: int,
+    win_sigma: float,
+    k: Tuple[float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Route one SSIM level to the fused pallas kernel on TPU (when the plane
+    fits VMEM), else the XLA composite. FCDGAN_NO_PALLAS=1 disables."""
+    import os
+
+    if os.environ.get("FCDGAN_NO_PALLAS") != "1":
+        try:
+            from .pallas.fused_ssim import ssim_level_pallas, use_pallas_ssim
+
+            if use_pallas_ssim(x.shape, win_size):
+                return ssim_level_pallas(
+                    x, y, float(data_range), win_size, win_sigma, k[0], k[1]
+                )
+        except ImportError:  # pragma: no cover
+            pass
+    win = jnp.asarray(gaussian_window(win_size, win_sigma))
+    return _ssim_maps(x, y, data_range, win, k)
+
+
 def _ssim_maps(
     x: jnp.ndarray,
     y: jnp.ndarray,
@@ -109,8 +135,7 @@ def ssim(
         raise ValueError("Input images should have the same dimensions.")
     if win_size % 2 != 1:
         raise ValueError("Window size should be odd.")
-    win = jnp.asarray(gaussian_window(win_size, win_sigma))
-    ssim_pc, _ = _ssim_maps(x, y, data_range, win, k)
+    ssim_pc, _ = _ssim_maps_dispatch(x, y, data_range, win_size, win_sigma, k)
     if nonnegative_ssim:
         ssim_pc = jax.nn.relu(ssim_pc)
     return ssim_pc.mean() if size_average else ssim_pc.mean(axis=1)
@@ -158,13 +183,12 @@ def ms_ssim(
             "in ms-ssim" % (min_side, levels - 1)
         )
 
-    win = jnp.asarray(gaussian_window(win_size, win_sigma))
     w = jnp.asarray(weights, dtype=x.dtype).reshape(-1, 1, 1)
 
     mcs = []
     ssim_pc = None
     for i in range(levels):
-        ssim_pc, cs_pc = _ssim_maps(x, y, data_range, win, k)
+        ssim_pc, cs_pc = _ssim_maps_dispatch(x, y, data_range, win_size, win_sigma, k)
         if i < levels - 1:
             mcs.append(jax.nn.relu(cs_pc))
             pad = (x.shape[1] % 2, x.shape[2] % 2)
