@@ -51,7 +51,8 @@ def main():
     interior = np.tile([[hw - 2 * pad[1], hw - 2 * pad[0]]], (batch, 1)).astype(np.int32)
     steps = USSSSteps(
         net_g, net_s, tx_g, tx_s, load_vgg16_params(),
-        PerceptionConfig(select_feature_layers(1), per_band=True),
+        PerceptionConfig(select_feature_layers(1), per_band=True,
+                         dtype="bfloat16" if dtype is not None else None),
         perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
         interior_sizes=interior, pad=pad,
     )

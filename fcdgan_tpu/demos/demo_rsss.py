@@ -99,7 +99,8 @@ def run(cfg: RSSSConfig) -> Dict:
     vggp = load_vgg16_params(cfg.vgg_npz)
     steps = RSSSSteps(
         net_g, net_s, net_d, tx_g, tx_s, tx_d, vggp,
-        PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band),
+        PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band,
+                         dtype=cfg.compute_dtype if cfg.compute_dtype == "bfloat16" else None),
         cfg.perception_weight, cfg.ssim_weight, cfg.g_weight, cfg.l1_weight,
         cfg.d_weight, cfg.r_weight,
         dataset.interior_sizes(), cfg.overlap_padding,

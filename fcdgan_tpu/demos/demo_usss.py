@@ -96,7 +96,8 @@ def run(cfg: USSSConfig) -> Dict:
     vggp = load_vgg16_params(cfg.vgg_npz)
     steps = USSSSteps(
         net_g, net_s, tx_g, tx_s, vggp,
-        PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band),
+        PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band,
+                         dtype=cfg.compute_dtype if cfg.compute_dtype == "bfloat16" else None),
         cfg.perception_weight, cfg.l1_weight, cfg.ssim_weight,
         dataset.interior_sizes(), cfg.overlap_padding,
         cfg.gt_map, cfg.pre_map, cfg.prob_thresh, cfg.msssim_weights,

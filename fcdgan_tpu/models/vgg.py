@@ -81,19 +81,22 @@ def vgg16_features(
     x: jnp.ndarray,
     params: Dict[str, np.ndarray],
     tap_indices: Sequence[int],
+    dtype=None,
 ) -> List[jnp.ndarray]:
     """Run NHWC RGB input through VGG16 features, returning tapped activations.
 
     ``tap_indices`` are torchvision sequential indices (see
     FEATURE_LAYER_LIST); computation stops at the deepest requested tap —
     unlike the reference, which runs the full stack regardless (Loss.py:45).
-    """
+    ``dtype`` sets the conv compute dtype (bf16 under mixed precision — TPU
+    "f32" convs decompose into multiple bf16 passes, so this is ~3x cheaper);
+    tapped features are returned in f32 for the MSE."""
     taps = set(int(t) for t in tap_indices)
     deepest = max(taps)
     out: List[Tuple[int, jnp.ndarray]] = []
     li = 0
     seq = 0
-    h = x
+    h = x if dtype is None else x.astype(dtype)
     for c in _CFG:
         if c == "M":
             if seq > deepest:
@@ -114,7 +117,7 @@ def vgg16_features(
             h = jax.nn.relu(h)
             seq += 2
             if seq - 1 in taps:  # relu index
-                out.append((seq - 1, h))
+                out.append((seq - 1, h.astype(jnp.float32)))
             li += 1
     order = {t: i for i, t in enumerate(tap_indices)}
     out.sort(key=lambda kv: order[kv[0]])

@@ -65,6 +65,7 @@ def perception_loss(
     feature_layers: Sequence[int] = (29,),
     per_band: bool = False,
     sample_weight: Optional[jnp.ndarray] = None,
+    dtype=None,
 ) -> jnp.ndarray:
     """Frozen-VGG16 MSE over unchanged pixels (parity: Loss.py:17-61).
 
@@ -92,9 +93,9 @@ def perception_loss(
         x, y = stack(xm), stack(ym)
         n_rep = n_channels
 
-    loss = jnp.zeros((), x.dtype)
-    fx = vgg_mod.vgg16_features(x, vgg_params, feature_layers)
-    fy = vgg_mod.vgg16_features(y, vgg_params, feature_layers)
+    loss = jnp.zeros((), jnp.float32)
+    fx = vgg_mod.vgg16_features(x, vgg_params, feature_layers, dtype=dtype)
+    fy = vgg_mod.vgg16_features(y, vgg_params, feature_layers, dtype=dtype)
     wn = jnp.maximum(w.sum(), 1.0)
     for a, b in zip(fx, fy):
         # per-sample MSE -> weighted batch mean (== torch global MSE when
@@ -157,6 +158,7 @@ def cnet_loss(
     msssim_weights: Optional[Sequence[float]] = None,
     sample_weight: Optional[jnp.ndarray] = None,
     ssim_grad: bool = True,
+    perception_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """USSS loss tuple (generator, l1, perception, ssim) (parity: Loss.py:64-95).
 
@@ -178,6 +180,7 @@ def cnet_loss(
     p_loss = perception_loss(
         target, generated, pmask, vgg_params, feature_layers,
         per_band=perception_per_band, sample_weight=sample_weight,
+        dtype=perception_dtype,
     )
 
     # when the driver weights SSIM at 0 (all reference demos do,
@@ -202,6 +205,7 @@ def cgenerator_loss(
     msssim_weights: Optional[Sequence[float]] = None,
     sample_weight: Optional[jnp.ndarray] = None,
     ssim_grad: bool = True,
+    perception_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """WSSS/RSSS loss tuple (generator, ssim, perception) (parity: Loss.py:100-124).
 
@@ -226,6 +230,7 @@ def cgenerator_loss(
     p_loss = perception_loss(
         target, generated, cmap, vgg_params, feature_layers,
         per_band=perception_per_band, sample_weight=sample_weight,
+        dtype=perception_dtype,
     )
     return generator_loss, ssim_loss, p_loss
 

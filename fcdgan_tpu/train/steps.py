@@ -51,6 +51,7 @@ from .state import NetState
 class PerceptionConfig:
     feature_layers: Tuple[int, ...]
     per_band: bool
+    dtype: Optional[str] = None  # 'bfloat16' under mixed precision
 
 
 def interior_valid_mask(
@@ -143,6 +144,7 @@ class USSSSteps:
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
             sample_weight=w, ssim_grad=self.sw != 0,
+            perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
         )
 
     def _confusion(self, cmap, ref, item, w):
@@ -288,6 +290,7 @@ class WSSSSteps:
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
             sample_weight=w, ssim_grad=self.sw != 0,
+            perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
         )
 
     # -- G pretrain on unchanged pairs, cmap = 0 (Demo_WSSS.py:140-204) -----
@@ -486,6 +489,7 @@ class RSSSSteps:
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
             sample_weight=w, ssim_grad=self.sw != 0,
+            perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
         )
 
     # -- G pretrain with the REGION raster as mask (Demo_RSSS.py:200-205) ---
