@@ -52,6 +52,8 @@ class USSSConfig:
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     seed: int = 0
+    checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
+    resume: bool = False       # resume from the periodic checkpoint if present
     n_devices: Optional[int] = None
     vgg_npz: Optional[str] = None
     prefetch_depth: int = 2
@@ -100,6 +102,8 @@ class WSSSConfig:
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     seed: int = 0
+    checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
+    resume: bool = False       # resume from the periodic checkpoint if present
     n_devices: Optional[int] = None
     vgg_npz: Optional[str] = None
     prefetch_depth: int = 2
@@ -152,6 +156,8 @@ class RSSSConfig:
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     seed: int = 0
+    checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
+    resume: bool = False       # resume from the periodic checkpoint if present
     n_devices: Optional[int] = None
     vgg_npz: Optional[str] = None
     prefetch_depth: int = 2

@@ -143,7 +143,13 @@ class ScenePairDataset:
             out_image = out_image[..., None]
         core, _, _ = self.grid.slices(item)
         padx, pady = self.overlap_padding
-        interior = out_image[pady : pady + core[3], padx : padx + core[2], :]
+        ph, pw = self.patch_size[1], self.patch_size[0]
+        if out_image.shape[:2] == (ph - 2 * pady, pw - 2 * padx):
+            # already interior-cropped on device (cuts device->host bytes on
+            # low-bandwidth links); the core starts at the crop origin
+            interior = out_image[: core[3], : core[2], :]
+        else:
+            interior = out_image[pady : pady + core[3], padx : padx + core[2], :]
         if interior.shape[-1] == 1:
             raster.write_block(interior[..., 0], core[0], core[1], band=0)
         else:

@@ -25,7 +25,7 @@ from ..data.pipeline import BatchLoader, prefetch
 from ..data.stats import dataset_meanstd
 from ..eval.changemap import write_changemap_gdal
 from ..eval.evaluator import Evaluator
-from ..io.checkpoint import model_g_reuse, save_net
+from ..io.checkpoint import TrainCheckpointer, model_g_reuse, save_net
 from ..io.records import ScalarWriter, segmentation_summary, write_para_txt
 from ..models import Discriminator, Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
@@ -122,12 +122,20 @@ def run(cfg: RSSSConfig) -> Dict:
         sstate = replicate_state(sstate, mesh)
         dstate = replicate_state(dstate, mesh)
 
+    ckpt = TrainCheckpointer(os.path.join(out_dir, "resume.ckpt"), cfg.checkpoint_every)
+    starts = {"g": 0, "adv": 0}
+    if cfg.resume and ckpt.exists():
+        states, meta = ckpt.restore({"netG": gstate, "netS": sstate, "netD": dstate})
+        gstate, sstate, dstate = states["netG"], states["netS"], states["netD"]
+        starts = TrainCheckpointer.start_epochs(meta, ("g", "adv"))
+        print("Resuming from phase {} epoch {}".format(meta["phase"], meta["epoch"]))
+
     writer = ScalarWriter(comment="RSSS_OSCD{}".format(cfg.ext),
                           enabled=cfg.log_tensorboard)
 
     # -- phase 1: G pretrain with region masks (Demo_RSSS.py:173-238) --------
     print("Start Generator Training")
-    for i in range(init_epochs_g):
+    for i in range(starts["g"], init_epochs_g):
         lr = schedules.G_PRETRAIN(i)
         av = EpochAverages(total)
         prog = Progress(total, lambda: init_epochs_g - 1 - i, cfg.progress)
@@ -146,11 +154,12 @@ def run(cfg: RSSSConfig) -> Dict:
                   av["perception_loss"], av["ssim_loss"]))
         writer.add_scalars({k: av[k] for k in
                             ("g_loss", "generator_loss", "perception_loss", "ssim_loss")}, i)
+        ckpt.maybe_save("g", i, netG=gstate)
 
     # -- phase 2: adversarial + per-epoch test eval (Demo_RSSS.py:244-447) ---
     print("Start Adversarial Training")
     results_last_test = None
-    for i in range(cfg.num_epochs):
+    for i in range(starts["adv"], cfg.num_epochs):
         lr_s = schedules.S_ADV_RSSS(i)
         lr_d = schedules.D_ADV_RSSS(i)
         av = EpochAverages(total)
@@ -194,6 +203,7 @@ def run(cfg: RSSSConfig) -> Dict:
                   test_acc.Pixel_F1_score(), miou, ciou))
         _log_accuracy(writer, test_acc, step, prefix="Test ")
         results_last_test = test_acc
+        ckpt.maybe_save("adv", i, netG=gstate, netS=sstate, netD=dstate)
 
     # -- final inference: density + color rasters per scene (:449-504) -------
     print("Saving Change Map and Model")

@@ -30,7 +30,7 @@ from ..data.raster import create_raster
 from ..data.stats import dataset_meanstd
 from ..eval.changemap import write_changemap_gdal
 from ..eval.evaluator import Evaluator
-from ..io.checkpoint import save_net
+from ..io.checkpoint import TrainCheckpointer, save_net
 from ..io.records import ScalarWriter, timestamped_para_path, write_para_txt
 from ..models import Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
@@ -110,6 +110,15 @@ def run(cfg: USSSConfig) -> Dict:
         gstate = replicate_state(gstate, mesh)
         sstate = replicate_state(sstate, mesh)
 
+    ckpt = TrainCheckpointer(os.path.join(outdir, "resume{}.ckpt".format(cfg.ext)),
+                             cfg.checkpoint_every)
+    starts = {"g": 0, "s": 0, "joint": 0}
+    if cfg.resume and ckpt.exists():
+        states, meta = ckpt.restore({"netG": gstate, "netS": sstate})
+        gstate, sstate = states["netG"], states["netS"]
+        starts = TrainCheckpointer.start_epochs(meta, ("g", "s", "joint"))
+        print("Resuming from phase {} epoch {}".format(meta["phase"], meta["epoch"]))
+
     writer = ScalarWriter(comment="USSS{}".format(cfg.ext), enabled=cfg.log_tensorboard)
 
     loss_keys = ("NetLoss", "generator_loss", "l1_loss", "perception_loss", "ssim_loss")
@@ -127,7 +136,7 @@ def run(cfg: USSSConfig) -> Dict:
 
     # -- phase 1: generator init (Demo_USSS.py:124-189) ---------------------
     print("Start Initial Generator Training")
-    for i in range(cfg.init_num_epochs_g):
+    for i in range(starts["g"], cfg.init_num_epochs_g):
         lr = schedules.G_PRETRAIN(i)
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.init_num_epochs_g - 1 - i, cfg.progress)
@@ -141,10 +150,11 @@ def run(cfg: USSSConfig) -> Dict:
         prog.finish()
         loss_print(i, cfg.init_num_epochs_g, av)
         log_losses(av, i)
+        ckpt.maybe_save("g", i, netG=gstate)
 
     # -- phase 2: segmentor init (Demo_USSS.py:192-286) ---------------------
     print("Start Initial Segmentor Training")
-    for i in range(cfg.init_num_epochs_s):
+    for i in range(starts["s"], cfg.init_num_epochs_s):
         lr = schedules.S_INIT_USSS(i)
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.init_num_epochs_s - 1 - i, cfg.progress)
@@ -164,10 +174,11 @@ def run(cfg: USSSConfig) -> Dict:
         step = i + cfg.init_num_epochs_g
         log_losses(av, step)
         _log_accuracy(writer, ev, step)
+        ckpt.maybe_save("s", i, netG=gstate, netS=sstate)
 
     # -- phase 3: joint alternating (Demo_USSS.py:289-400) ------------------
     print("Start Training")
-    for i in range(cfg.num_epochs):
+    for i in range(starts["joint"], cfg.num_epochs):
         lr_s = schedules.JOINT_USSS(i)
         lr_g = schedules.JOINT_USSS(i)
         av = EpochAverages(total)
@@ -188,6 +199,7 @@ def run(cfg: USSSConfig) -> Dict:
         step = i + cfg.init_num_epochs_g + cfg.init_num_epochs_s
         log_losses(av, step)
         _log_accuracy(writer, ev, step)
+        ckpt.maybe_save("joint", i, netG=gstate, netS=sstate)
 
     # -- inference + stitched write-back (Demo_USSS.py:404-473) -------------
     print("Saving Change Map and Model")

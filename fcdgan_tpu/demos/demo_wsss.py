@@ -27,7 +27,7 @@ from ..data.pipeline import BatchLoader, PairBatchLoader, prefetch
 from ..data.stats import dataset_meanstd
 from ..eval.changemap import write_changemap
 from ..eval.evaluator import Evaluator
-from ..io.checkpoint import model_g_reuse, save_net
+from ..io.checkpoint import TrainCheckpointer, model_g_reuse, save_net
 from ..io.records import ScalarWriter, segmentation_summary, write_para_txt
 from ..models import Discriminator, Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
@@ -114,12 +114,20 @@ def run(cfg: WSSSConfig) -> Dict:
         sstate = replicate_state(sstate, mesh)
         dstate = replicate_state(dstate, mesh)
 
+    ckpt = TrainCheckpointer(os.path.join(out_dir, "resume.ckpt"), cfg.checkpoint_every)
+    starts = {"g": 0, "adv": 0}
+    if cfg.resume and ckpt.exists():
+        states, meta = ckpt.restore({"netG": gstate, "netS": sstate, "netD": dstate})
+        gstate, sstate, dstate = states["netG"], states["netS"], states["netD"]
+        starts = TrainCheckpointer.start_epochs(meta, ("g", "adv"))
+        print("Resuming from phase {} epoch {}".format(meta["phase"], meta["epoch"]))
+
     writer = ScalarWriter(comment="Building_WSSS{}".format(cfg.ext),
                           enabled=cfg.log_tensorboard)
 
     # -- phase 1: G pretrain on unchanged pairs (Demo_WSSS.py:140-204) -------
     print("Start Generator Training")
-    for i in range(init_epochs_g):
+    for i in range(starts["g"], init_epochs_g):
         lr = schedules.G_PRETRAIN(i)
         av = EpochAverages(total_unc)
         prog = Progress(total_unc, lambda: init_epochs_g - 1 - i, cfg.progress)
@@ -137,11 +145,12 @@ def run(cfg: WSSSConfig) -> Dict:
                   av["perception_loss"], av["ssim_loss"]))
         writer.add_scalars({k: av[k] for k in
                             ("g_loss", "generator_loss", "perception_loss", "ssim_loss")}, i)
+        ckpt.maybe_save("g", i, netG=gstate)
 
     # -- phase 2: adversarial S vs D (Demo_WSSS.py:208-385) ------------------
     print("Start Adversarial Training")
     adv_keys = ("d_loss", "g_loss", "s_loss", "l1_loss", "nc_loss", "s_d_loss")
-    for i in range(cfg.num_epochs):
+    for i in range(starts["adv"], cfg.num_epochs):
         lr_s = schedules.S_ADV_WSSS(i)
         lr_d = schedules.D_ADV_WSSS(i)
         av = EpochAverages(total)
@@ -170,6 +179,7 @@ def run(cfg: WSSSConfig) -> Dict:
             "ssim_loss": av["ssim_loss"],
         }, step)
         _log_accuracy(writer, ev, step)
+        ckpt.maybe_save("adv", i, netG=gstate, netS=sstate, netD=dstate)
 
     # -- final inference on CHANGED set, train-mode BN (Demo_WSSS.py:387-445)
     print("Saving Change Map and Model")

@@ -1,0 +1,103 @@
+"""Full-scene stitched inference: device compute overlapped with host writes.
+
+The north-star's second headline metric is full-scene change-density px/s
+(BASELINE.md). The reference's inference loop alternates GPU compute with
+synchronous per-sample raster writes (Demo_USSS.py:418-465); here the loader
+prefetches tile batches in background threads (native C++ assembly when
+available), the jitted segmentor runs ahead on device, and stitched interior
+writes drain on a dedicated writer thread — the chip never waits for the disk.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from ..data.pipeline import BatchLoader, prefetch
+
+
+def stitched_inference(
+    dataset,
+    infer_fn: Callable,
+    sstate,
+    batch_size: int,
+    put: Optional[Callable] = None,
+    prefetch_depth: int = 2,
+    writer_depth: int = 4,
+    use_native: bool = True,
+    transfer_dtype=None,
+) -> dict:
+    """Run the segmentor over every tile and stitch the density raster.
+
+    ``infer_fn(sstate, x, y) -> cmap`` is the jitted eval-mode forward;
+    ``put`` optionally places host batches (sharding). Returns timing stats:
+    {"pixels": ..., "seconds": ..., "px_per_s": ...} (density written through
+    ``dataset.write_default``)."""
+    loader = None
+    if use_native:
+        try:
+            from ..data.pipeline import NativeSceneBatchLoader
+
+            loader = NativeSceneBatchLoader(dataset, batch_size, shuffle=False)
+        except Exception:
+            loader = None
+    if loader is None:
+        loader = BatchLoader(dataset, batch_size, fields=("x", "y", "item", "ref"),
+                             shuffle=False)
+
+    q: "queue.Queue" = queue.Queue(maxsize=writer_depth)
+    sentinel = object()
+    err = []
+
+    def writer():
+        try:
+            while True:
+                job = q.get()
+                if job is sentinel:
+                    return
+                cmap, items, weights = job
+                cmap = np.asarray(cmap, dtype=np.float32)
+                for ns in range(len(items)):
+                    if weights[ns] == 0:
+                        continue
+                    dataset.write_default(cmap[ns], int(items[ns]))
+        except BaseException as e:  # pragma: no cover
+            err.append(e)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+
+    interior = dataset.interior_sizes()  # (n_tiles, 2) core (h, w)
+    pixels = 0
+    t0 = time.perf_counter()
+    pending = None
+    for batch in prefetch(iter(loader), prefetch_depth):
+        db = put(batch) if put is not None else batch
+        bx, by = db["x"], db["y"]
+        if transfer_dtype is not None:
+            # halve host->device bytes; on low-bandwidth links (e.g. the axon
+            # relay) transfers dominate full-scene inference
+            bx = np.asarray(bx).astype(transfer_dtype)
+            by = np.asarray(by).astype(transfer_dtype)
+        cmap_dev = infer_fn(sstate, bx, by)
+        if pending is not None:  # drain the previous batch while this one runs
+            q.put(pending)
+        pending = (np.asarray(cmap_dev), batch["item"], batch["weight"])
+        for ns in range(len(batch["item"])):
+            if batch["weight"][ns] > 0:
+                ch, cw = interior[int(batch["item"][ns])]
+                pixels += int(ch) * int(cw)
+    if pending is not None:
+        q.put(pending)
+    q.put(sentinel)
+    wt.join()
+    if err:
+        raise err[0]
+    seconds = time.perf_counter() - t0
+    dataset.close_outputs()
+    return {"pixels": pixels, "seconds": seconds,
+            "px_per_s": pixels / max(seconds, 1e-9)}

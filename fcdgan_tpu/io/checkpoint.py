@@ -59,6 +59,75 @@ def restore_net(path: str, template: NetState) -> NetState:
     return NetState(params=params, batch_stats=batch_stats, opt_state=opt_state)
 
 
+class TrainCheckpointer:
+    """Periodic in-training checkpoints: every phase resumable at epoch
+    granularity (a strict superset of the reference's end-of-run saves,
+    SURVEY.md section 5).
+
+    Saves each network's full NetState (params + BN stats + optimizer state)
+    plus a meta record (phase name, last completed epoch). Resume restores
+    states and reports where to continue; the data shuffle order is re-derived
+    from the seed, not persisted (documented approximation)."""
+
+    def __init__(self, directory: str, every: int = 0):
+        self.dir = directory
+        self.every = int(every)
+
+    @property
+    def enabled(self) -> bool:
+        return self.every > 0
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.dir, "meta.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path())
+
+    def maybe_save(self, phase: str, epoch: int, **states) -> bool:
+        """Save after ``epoch`` when it hits the cadence. Returns True if saved."""
+        if not self.enabled or (epoch + 1) % self.every != 0:
+            return False
+        import json
+
+        os.makedirs(self.dir, exist_ok=True)
+        for name, state in states.items():
+            save_net(os.path.join(self.dir, f"{name}.ckpt"), state)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"phase": phase, "epoch": epoch}, f)
+        return True
+
+    def restore(self, templates: dict):
+        """(states dict, meta dict) — templates supply pytree structure."""
+        import json
+
+        with open(self._meta_path()) as f:
+            meta = json.load(f)
+        states = {}
+        for name, tpl in templates.items():
+            path = os.path.join(self.dir, f"{name}.ckpt")
+            states[name] = restore_net(path, tpl) if os.path.exists(path) else tpl
+        return states, meta
+
+    @staticmethod
+    def start_epochs(meta: Optional[dict], phase_order) -> dict:
+        """Per-phase start epochs implied by a meta record.
+
+        Phases before the recorded one are complete (their start = a large
+        sentinel handled by the caller's range()), the recorded phase resumes
+        at epoch+1, later phases start at 0."""
+        starts = {p: 0 for p in phase_order}
+        if not meta:
+            return starts
+        seen = False
+        for p in phase_order:
+            if p == meta["phase"]:
+                starts[p] = meta["epoch"] + 1
+                seen = True
+            elif not seen:
+                starts[p] = 10**9  # completed phase: skip entirely
+        return starts
+
+
 def model_g_reuse(
     g_model_dir: str,
     template: NetState,

@@ -1,0 +1,48 @@
+"""Config CLI parsing: annotation-driven types, reference defaults."""
+
+import pytest
+
+from fcdgan_tpu.config import RSSSConfig, USSSConfig, WSSSConfig, parse_cli
+
+
+def test_defaults_mirror_reference_constants():
+    u = USSSConfig()
+    assert (u.init_num_epochs_g, u.init_num_epochs_s, u.num_epochs) == (50, 50, 100)
+    assert u.batch_size == 10 and u.learning_rate == 0.0002
+    assert u.perception_weight == 0.4 and u.l1_weight == 0.65 and u.ssim_weight == 0
+    assert u.patch_size == (220, 220) and u.overlap_padding == (10, 10)
+    assert u.gt_map == (1, 2) and u.pre_map == (0, 1) and u.prob_thresh == 0.5
+
+    w = WSSSConfig()
+    assert (w.init_num_epochs_g, w.num_epochs) == (50, 50)
+    assert (w.batch_size, w.unc_batch_size) == (15, 50)
+    assert w.prob_thresh == 0.6 and w.g_weight == 0.2 and w.l1_weight == 1.6
+    assert w.nc_weight == 1.5 and w.model_g_reuse is True
+
+    r = RSSSConfig()
+    assert (r.init_batch_size, r.batch_size) == (20, 12)
+    assert r.learning_rate == 5e-5
+    assert (r.l1_weight, r.g_weight, r.d_weight, r.r_weight) == (0.02, 0.5, 1.0, 2.0)
+    assert r.patch_size == (200, 200) and r.stats_name == "statsMS"
+
+
+def test_cli_optional_tuple_and_int_fields():
+    cfg = parse_cli(USSSConfig, [
+        "--msssim-weights", "0.5,0.5",
+        "--n-devices", "8",
+        "--patch-size", "48,48",
+        "--prob-thresh", "0.6",
+        "--write-color", "false",
+        "--platform", "cpu",
+    ])
+    assert cfg.msssim_weights == (0.5, 0.5)
+    assert cfg.n_devices == 8
+    assert cfg.patch_size == (48, 48)
+    assert cfg.prob_thresh == 0.6
+    assert cfg.write_color is False
+    assert cfg.platform == "cpu"
+
+
+def test_cli_rejects_malformed_tuple():
+    with pytest.raises(SystemExit):
+        parse_cli(USSSConfig, ["--patch-size", "banana"])
