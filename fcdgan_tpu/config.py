@@ -51,6 +51,7 @@ class USSSConfig:
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
+    debug_nans: bool = False        # jax.debug_nans for fault isolation
     seed: int = 0
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
@@ -101,6 +102,7 @@ class WSSSConfig:
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
+    debug_nans: bool = False        # jax.debug_nans for fault isolation
     seed: int = 0
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
@@ -155,6 +157,7 @@ class RSSSConfig:
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
+    debug_nans: bool = False        # jax.debug_nans for fault isolation
     seed: int = 0
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present

@@ -59,6 +59,8 @@ def _scene_scalers(img_dir: str, txt_name: str, patch_size, stats_name: str) -> 
 def run(cfg: RSSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     out_dir = os.path.join(cfg.img_dir, "model{}".format(cfg.ext))
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(cfg.out_g_model_dir, exist_ok=True)

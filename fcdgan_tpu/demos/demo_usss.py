@@ -45,6 +45,8 @@ from ..train.steps import PerceptionConfig, USSSSteps
 def run(cfg: USSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     outdir = cfg.outdir or cfg.dir
     img_x = os.path.join(cfg.dir, cfg.image_x_name)
     img_y = os.path.join(cfg.dir, cfg.image_y_name)

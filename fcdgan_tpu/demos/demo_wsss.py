@@ -42,6 +42,8 @@ from ..train.steps import PerceptionConfig, WSSSSteps
 def run(cfg: WSSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     out_dir = cfg.out_dir or os.path.join(cfg.label_dir, "Detection_WSS{}".format(cfg.ext))
     os.makedirs(out_dir, exist_ok=True)
     out_density_dir = out_dir + "_Density"
