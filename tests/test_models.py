@@ -43,6 +43,17 @@ def test_segmentor_param_count_4band(key):
     assert n_params(vs) == 40_828_545
 
 
+def test_segmentor_convtranspose_variant(key):
+    """bilinear=False path (ConvTranspose decoder, Module.py:63); torch
+    reconstruction counts 67,607,105 params."""
+    m = Segmentor(3, bilinear=False)
+    x = jnp.zeros((1, 32, 32, 3))
+    vs = m.init({"params": key}, x, x, train=True)
+    assert n_params(vs) == 67_607_105
+    out, _ = m.apply(vs, x, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (1, 32, 32, 1)
+
+
 def test_segmentor_odd_sizes(key):
     """220-px patches hit the maxpool-floor / upsample-2x mismatch -> pad path."""
     m = Segmentor(3, bilinear=True)
