@@ -18,7 +18,7 @@ detectable by the segmentor."""
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -36,7 +36,7 @@ from ..models import Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, shard_batch
 from ..train import schedules
-from ..train.loops import EpochAverages, Progress, accuracy_line, metrics_line
+from ..train.loops import EpochAverages, Progress, accuracy_line
 from ..train.optim import adam
 from ..train.state import create_net_state
 from ..train.steps import PerceptionConfig, USSSSteps

@@ -16,7 +16,7 @@ parity choice (SURVEY.md section 7 "hard parts" #2).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ collapsed onto the device, SURVEY.md section 2g)."""
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

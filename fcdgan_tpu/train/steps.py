@@ -34,8 +34,7 @@ all-reduces and computes global-batch BN statistics (sync-BN) automatically.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
