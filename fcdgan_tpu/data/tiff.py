@@ -74,7 +74,7 @@ def _read_ifd_entries(buf: bytes, off: int, bo: str) -> Tuple[Dict[int, tuple], 
 def _values(entry: tuple, bo: str):
     typ, n, raw = entry
     if typ == 2:  # ASCII
-        return raw.split(b"\0")[0].decode("latin-1")
+        return bytes(raw).split(b"\0")[0].decode("latin-1")
     if typ in (5, 10):  # RATIONAL
         fmt = "II" if typ == 5 else "ii"
         out = []
@@ -93,12 +93,20 @@ class TiffReader:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        # memory-map instead of reading: arbitrarily large scenes (the
+        # reference streams via GDAL; loading a 10k x 10k multiband raster
+        # into RAM would defeat the tiled design)
+        self._file = open(path, "rb")
+        try:
+            self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+            self._buf = memoryview(self._mm)
+        except (ValueError, OSError):  # empty file etc.
+            self._mm = None
+            self._buf = memoryview(self._file.read())
         buf = self._buf
-        if buf[:2] == b"II":
+        if bytes(buf[:2]) == b"II":
             self._bo = "<"
-        elif buf[:2] == b"MM":
+        elif bytes(buf[:2]) == b"MM":
             self._bo = ">"
         else:
             raise TiffError(f"not a TIFF: {path}")
@@ -242,6 +250,21 @@ class TiffReader:
     def read_band(self, band: int, xoff: int = 0, yoff: int = 0,
                   w: Optional[int] = None, h: Optional[int] = None) -> np.ndarray:
         return self.read_block(xoff, yoff, w, h)[..., band]
+
+    def close(self):
+        self._chunk_cache.clear()
+        self._buf = None
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
+        self._file.close()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_mm", None) is not None or not self._file.closed:
+                self.close()
+        except Exception:
+            pass
 
 
 def _pack_entry(bo, tag, typ, values, heap: List[bytes], heap_base: int):

@@ -32,8 +32,36 @@
 #include <cmath>
 
 #include <zlib.h>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
+
+// memory-mapped read-only file: arbitrarily large scenes without RAM cost
+struct MappedFile {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  bool open_file(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size <= 0) { ::close(fd); fd = -1; return false; }
+    size = (size_t)st.st_size;
+    void* p = ::mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) { ::close(fd); fd = -1; return false; }
+    data = (const uint8_t*)p;
+    return true;
+  }
+
+  ~MappedFile() {
+    if (data) ::munmap((void*)data, size);
+    if (fd >= 0) ::close(fd);
+  }
+};
 
 // ---------------------------------------------------------------------------
 // raster abstraction
@@ -86,7 +114,7 @@ inline float decode_at(const uint8_t* p, DType t, bool big_endian) {
 // ---------------------------------------------------------------------------
 
 struct TiffRaster : Raster {
-  std::vector<uint8_t> buf;
+  MappedFile mf;
   bool big_endian = false;
   DType dtype = DType::U8;
   int compression = 1;   // 1 none, 8/32946 deflate
@@ -99,12 +127,12 @@ struct TiffRaster : Raster {
   std::map<int64_t, std::vector<uint8_t>> chunk_cache;
 
   uint16_t rd16(size_t off) const {
-    uint16_t v; memcpy(&v, buf.data() + off, 2);
+    uint16_t v; memcpy(&v, mf.data + off, 2);
     if (big_endian) v = (uint16_t)((v >> 8) | (v << 8));
     return v;
   }
   uint32_t rd32(size_t off) const {
-    uint32_t v; memcpy(&v, buf.data() + off, 4);
+    uint32_t v; memcpy(&v, mf.data + off, 4);
     if (big_endian) v = __builtin_bswap32(v);
     return v;
   }
@@ -121,7 +149,7 @@ struct TiffRaster : Raster {
   uint64_t entry_value(const Entry& e, uint32_t i) const {
     size_t off = e.value_off + i * type_size(e.type);
     switch (e.type) {
-      case 1: return buf[off];
+      case 1: return mf.data[off];
       case 3: return rd16(off);
       case 4: return rd32(off);
       default: return 0;
@@ -129,12 +157,9 @@ struct TiffRaster : Raster {
   }
 
   bool open(const char* path) {
-    std::ifstream f(path, std::ios::binary);
-    if (!f) return false;
-    buf.assign(std::istreambuf_iterator<char>(f), {});
-    if (buf.size() < 8) return false;
-    if (buf[0] == 'I' && buf[1] == 'I') big_endian = false;
-    else if (buf[0] == 'M' && buf[1] == 'M') big_endian = true;
+    if (!mf.open_file(path) || mf.size < 8) return false;
+    if (mf.data[0] == 'I' && mf.data[1] == 'I') big_endian = false;
+    else if (mf.data[0] == 'M' && mf.data[1] == 'M') big_endian = true;
     else return false;
     if (rd16(2) != 42) return false;
     uint32_t ifd = rd32(4);
@@ -196,11 +221,11 @@ struct TiffRaster : Raster {
     std::vector<uint8_t> raw;
     int64_t need = rows * cols * spp * dtype_size(dtype);
     if (compression == 1) {
-      raw.assign(buf.begin() + offsets[idx], buf.begin() + offsets[idx] + counts[idx]);
+      raw.assign(mf.data + offsets[idx], mf.data + offsets[idx] + counts[idx]);
     } else {
       raw.resize(need);
       uLongf dst = (uLongf)need;
-      uncompress(raw.data(), &dst, buf.data() + offsets[idx], (uLong)counts[idx]);
+      uncompress(raw.data(), &dst, mf.data + offsets[idx], (uLong)counts[idx]);
       raw.resize(dst);
     }
     if (predictor == 2 && dtype_size(dtype) <= 4) {
@@ -290,7 +315,7 @@ struct TiffRaster : Raster {
 // ---------------------------------------------------------------------------
 
 struct EnviRaster : Raster {
-  std::vector<uint8_t> data;
+  MappedFile mf;
   DType dtype = DType::U8;
   bool big_endian = false;
   int interleave = 0;  // 0 bsq, 1 bil, 2 bip
@@ -346,16 +371,14 @@ struct EnviRaster : Raster {
     il.erase(0, il.find_first_not_of(" \t"));
     il.erase(il.find_last_not_of(" \t\r") + 1);
     interleave = il == "bil" ? 1 : il == "bip" ? 2 : 0;
-    std::ifstream f(path, std::ios::binary);
-    if (!f) return false;
-    data.assign(std::istreambuf_iterator<char>(f), {});
+    if (!mf.open_file(path)) return false;
     return xsize > 0 && ysize > 0 && nband > 0;
   }
 
   bool read_window(int64_t x, int64_t y, int64_t w, int64_t h, float* out) override {
     if (x < 0 || y < 0 || x + w > xsize || y + h > ysize) return false;
     int64_t bpp = dtype_size(dtype);
-    const uint8_t* base = data.data() + offset;
+    const uint8_t* base = mf.data + offset;
     for (int64_t r = 0; r < h; ++r)
       for (int64_t c = 0; c < w; ++c)
         for (int64_t b = 0; b < nband; ++b) {

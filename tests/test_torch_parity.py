@@ -18,7 +18,7 @@ import torch.nn.functional as tF  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from fcdgan_tpu.models import Generator, Segmentor  # noqa: E402
+from fcdgan_tpu.models import Discriminator, Generator, Segmentor  # noqa: E402
 from fcdgan_tpu.models.vgg import load_vgg16_params, vgg16_features  # noqa: E402
 from fcdgan_tpu.ops.losses import cnet_loss, region_loss  # noqa: E402
 from fcdgan_tpu.train.optim import adam, apply_updates, rmsprop  # noqa: E402
@@ -200,6 +200,59 @@ def test_segmentor_forward_matches_torch():
     with torch.no_grad():
         theirs = torch_to_nhwc(ts(nhwc_to_torch(x), nhwc_to_torch(y)))
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Discriminator forward parity (eval mode)
+# ---------------------------------------------------------------------------
+
+
+class TorchDiscriminator(tnn.Module):
+    """Reference Discriminator_SRGAN_simple semantics (Module.py:192-223)."""
+
+    def __init__(self, nc=3):
+        super().__init__()
+        self.convs = tnn.ModuleList([
+            tnn.Conv2d(nc, 64, 3, 2, 1), tnn.Conv2d(64, 128, 3, 2, 1),
+            tnn.Conv2d(128, 256, 3, 2, 1), tnn.Conv2d(256, 512, 3, 2, 1)])
+        self.bns = tnn.ModuleList([tnn.BatchNorm2d(c) for c in (128, 256, 512)])
+        self.cls1 = tnn.Conv2d(512, 1024, 1)
+        self.cls2 = tnn.Conv2d(1024, 1, 1)
+
+    def trunk(self, x):
+        x = tF.leaky_relu(self.convs[0](x), 0.2)
+        for conv, bn in zip(self.convs[1:], self.bns):
+            x = tF.leaky_relu(bn(conv(x)), 0.2)
+        return x
+
+    def forward(self, x, y):
+        d = tF.adaptive_avg_pool2d(self.trunk(x) - self.trunk(y), 1)
+        d = tF.leaky_relu(self.cls1(d), 0.2)
+        return torch.sigmoid(self.cls2(d)).view(x.shape[0])
+
+
+def test_discriminator_forward_matches_torch():
+    model = Discriminator(3)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    y = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), jnp.asarray(y),
+                    train=False)
+    p, bs = vs["params"], vs["batch_stats"]
+
+    td = TorchDiscriminator(3).eval()
+    for i in range(4):
+        _conv_to_torch(td.convs[i], p[f"TorchConv_{i}"]["Conv_0"])
+    for i in range(3):
+        _bn_to_torch(td.bns[i], p[f"BatchNorm_{i}"]["BatchNorm_0"],
+                     bs[f"BatchNorm_{i}"]["BatchNorm_0"])
+    _conv_to_torch(td.cls1, p["TorchConv_4"]["Conv_0"])
+    _conv_to_torch(td.cls2, p["TorchConv_5"]["Conv_0"])
+
+    ours = np.asarray(model.apply(vs, jnp.asarray(x), jnp.asarray(y), train=False))
+    with torch.no_grad():
+        theirs = td(nhwc_to_torch(x), nhwc_to_torch(y)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
 
 
 # ---------------------------------------------------------------------------
