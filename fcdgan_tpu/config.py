@@ -52,6 +52,7 @@ class USSSConfig:
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
+    profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
@@ -103,6 +104,7 @@ class WSSSConfig:
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
+    profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
@@ -158,6 +160,7 @@ class RSSSConfig:
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
+    profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present

@@ -218,6 +218,98 @@ class NativeSceneBatchLoader(BatchLoader):
             yield batch
 
 
+class NativeOSCDBatchLoader(BatchLoader):
+    """BatchLoader over an OSCDDataset with per-scene native C++ assembly.
+
+    x/y tile canvases come from one NativePairAssembler per scene (items in a
+    batch are grouped by scene and assembled in the thread pool); the 1-band
+    ref/region tiles stay on the Python path. Yields the same
+    (x, y, item, ref, region, weight) batches as the Python loader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, n_threads: Optional[int] = None):
+        from .. import native
+        from .normalize import Normalize
+
+        if not native.native_available():
+            raise RuntimeError(f"native tileio unavailable: {native.build_error()}")
+        self._assemblers = []
+        for scene in dataset.dslist:
+            base = scene.ds
+            if base.transforms is not None:
+                raise ValueError("native loader does not support sync transforms")
+            kw = {}
+            if base.enhance is not None:
+                if not isinstance(base.enhance, Normalize):
+                    raise ValueError("native loader supports Normalize enhance only")
+                kw = dict(mean_x=base.enhance.meansX, std_x=base.enhance.stdX,
+                          mean_y=base.enhance.meansY, std_y=base.enhance.stdY)
+            self._assemblers.append(native.NativePairAssembler(
+                base.raster_x.path, base.raster_y.path,
+                base.patch_size, base.overlap_padding, n_threads=n_threads, **kw))
+        self._cumlen = list(dataset.cumlen)
+        super().__init__(dataset, batch_size,
+                         fields=("x", "y", "item", "ref", "region"),
+                         shuffle=shuffle, seed=seed)
+
+    def _locate(self, item: int):
+        ds_idx = int(np.searchsorted(np.asarray(self._cumlen), item, side="right"))
+        cur = item - self._cumlen[ds_idx - 1] if ds_idx > 0 else item
+        return ds_idx, cur
+
+    def __iter__(self) -> Iterator[Batch]:
+        ds = self.dataset
+        n = len(ds)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        ph, pw = ds.patch_size[1], ds.patch_size[0]
+        nb = self._assemblers[0].nband
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            weight = np.ones(len(idx), np.float32)
+            if len(idx) < bs:
+                extra = order[: bs - len(idx)]
+                if len(extra) < bs - len(idx):
+                    extra = np.resize(order, bs - len(idx))
+                idx = np.concatenate([idx, extra])
+                weight = np.concatenate([weight, np.zeros(bs - len(weight), np.float32)])
+            x = np.zeros((bs, ph, pw, nb), np.float32)
+            y = np.zeros((bs, ph, pw, nb), np.float32)
+            # group batch positions by scene, one assembler call per scene
+            by_scene: Dict[int, list] = {}
+            locals_: list = []
+            for pos, gi in enumerate(idx):
+                s, cur = self._locate(int(gi))
+                by_scene.setdefault(s, []).append((pos, cur))
+                locals_.append((s, cur))
+            for s, entries in by_scene.items():
+                items = [cur for _, cur in entries]
+                sx, sy = self._assemblers[s].assemble(items)
+                for k, (pos, _) in enumerate(entries):
+                    x[pos] = sx[k]
+                    y[pos] = sy[k]
+            refs = np.zeros((bs, ph, pw, 1), np.float32)
+            regions = np.zeros((bs, ph, pw, 1), np.float32)
+            for pos, (s, cur) in enumerate(locals_):
+                scene = ds.dslist[s]
+                base = scene.ds
+                _, read, write = base.grid.slices(cur)
+                if base.raster_ref is not None:
+                    r = base.raster_ref.read_block(*read).astype(np.float32)
+                    refs[pos, write[1]:write[1] + write[3],
+                         write[0]:write[0] + write[2], :] = r
+                if scene.raster_region is not None:
+                    g = scene.raster_region.read_block(*read).astype(np.float32)
+                    regions[pos, write[1]:write[1] + write[3],
+                            write[0]:write[0] + write[2], :] = g
+            regions[regions > 125] = 1
+            yield Batch(x=x, y=y, item=np.asarray(idx, np.int64), ref=refs,
+                        region=regions, weight=weight)
+
+
 def device_put_batch(batch: Dict, sharding=None) -> Dict:
     """Move a host batch to device(s); with a NamedSharding the batch axis is
     split across the data-parallel mesh in a single transfer."""

@@ -78,11 +78,19 @@ def run(cfg: RSSSConfig) -> Dict:
     total_test = len(test_dataset)
 
     fields = ("x", "y", "item", "ref", "region")
-    init_loader = BatchLoader(dataset, cfg.init_batch_size, fields=fields,
-                              shuffle=True, seed=cfg.seed)
-    train_loader = BatchLoader(dataset, cfg.batch_size, fields=fields,
-                               shuffle=True, seed=cfg.seed + 1)
-    test_loader = BatchLoader(test_dataset, cfg.batch_size, fields=fields, shuffle=False)
+
+    def make_loader(ds, bs, shuffle, seed):
+        # native C++ per-scene tile assembly when available
+        try:
+            from ..data.pipeline import NativeOSCDBatchLoader
+
+            return NativeOSCDBatchLoader(ds, bs, shuffle=shuffle, seed=seed)
+        except Exception:
+            return BatchLoader(ds, bs, fields=fields, shuffle=shuffle, seed=seed)
+
+    init_loader = make_loader(dataset, cfg.init_batch_size, True, cfg.seed)
+    train_loader = make_loader(dataset, cfg.batch_size, True, cfg.seed + 1)
+    test_loader = make_loader(test_dataset, cfg.batch_size, False, cfg.seed)
 
     mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
 
@@ -285,8 +293,16 @@ def _log_accuracy(writer: ScalarWriter, ev: Evaluator, step: int, prefix: str = 
     writer.add_scalar(prefix + "cIOU", ciou, step)
 
 
+def run_profiled(cfg) -> Dict:
+    """run() under a jax.profiler trace when config.profile_dir is set."""
+    from ..utils.timing import maybe_profile
+
+    with maybe_profile(cfg.profile_dir):
+        return run(cfg)
+
+
 def main(argv=None):
-    run(parse_cli(RSSSConfig, argv))
+    run_profiled(parse_cli(RSSSConfig, argv))
 
 
 if __name__ == "__main__":

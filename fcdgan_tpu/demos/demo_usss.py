@@ -299,8 +299,16 @@ def _log_accuracy(writer: ScalarWriter, ev: Evaluator, step: int):
     writer.add_scalar("cIOU", ciou, step)
 
 
+def run_profiled(cfg) -> Dict:
+    """run() under a jax.profiler trace when config.profile_dir is set."""
+    from ..utils.timing import maybe_profile
+
+    with maybe_profile(cfg.profile_dir):
+        return run(cfg)
+
+
 def main(argv=None):
-    run(parse_cli(USSSConfig, argv))
+    run_profiled(parse_cli(USSSConfig, argv))
 
 
 if __name__ == "__main__":
