@@ -320,18 +320,22 @@ class WSSSSteps:
     # -- adversarial D-then-S step (Demo_WSSS.py:235-343) -------------------
     def _adversarial(self, sstate: NetState, dstate: NetState, gstate: NetState,
                      c_x, c_y, c_ref, nc_x, nc_y, w, lr_s, lr_d):
-        # segmentor forwards (the only two S train-mode forwards per batch)
-        cmap, s_muts = self.S.apply(
-            sstate.variables, c_x, c_y, train=True, mutable=["batch_stats"]
-        )
-        cmap = _f32(cmap)
-        s_bs1 = s_muts["batch_stats"]
-        ncmap, s_muts = self.S.apply(
-            {"params": sstate.params, "batch_stats": s_bs1},
-            nc_x, nc_y, train=True, mutable=["batch_stats"],
-        )
-        ncmap = _f32(ncmap)
-        s_bs2 = s_muts["batch_stats"]
+        # ONE pair of segmentor forwards, captured with jax.vjp so the S
+        # update can backprop through them without recomputing — the JAX
+        # equivalent of torch's retained graph (Demo_WSSS.py:256,273 computed
+        # once and reused by both the D and S objectives)
+        def s_fwd(ps):
+            cmap_, m1 = self.S.apply(
+                {"params": ps, "batch_stats": sstate.batch_stats},
+                c_x, c_y, train=True, mutable=["batch_stats"],
+            )
+            ncmap_, m2 = self.S.apply(
+                {"params": ps, "batch_stats": m1["batch_stats"]},
+                nc_x, nc_y, train=True, mutable=["batch_stats"],
+            )
+            return (_f32(cmap_), _f32(ncmap_)), m2["batch_stats"]
+
+        (cmap, ncmap), s_vjp, s_bs2 = jax.vjp(s_fwd, sstate.params, has_aux=True)
 
         cmask_sg = jax.lax.stop_gradient(
             cmap if self.continuous else L.hard_mask(cmap)
@@ -367,17 +371,9 @@ class WSSSSteps:
             y_fake = None
 
         # --- S update against the UPDATED discriminator (:302) --------------
-        def s_loss_fn(ps):
-            cmap_s, _ = self.S.apply(
-                {"params": ps, "batch_stats": sstate.batch_stats},
-                c_x, c_y, train=True, mutable=["batch_stats"],
-            )
-            cmap_s = _f32(cmap_s)
-            ncmap_s, _ = self.S.apply(
-                {"params": ps, "batch_stats": s_bs1},
-                nc_x, nc_y, train=True, mutable=["batch_stats"],
-            )
-            ncmap_s = _f32(ncmap_s)
+        # the loss is differentiated w.r.t. the S OUTPUTS (cmap, ncmap) and
+        # chained through the captured s_vjp — no segmentor recompute
+        def s_loss_fn(cmap_s, ncmap_s):
             cmask = cmap_s if self.continuous else L.hard_mask(cmap_s)
             xm, ym = self._mask_pair(c_x, c_y, cmask)
             c_out, muts = self.D.apply(
@@ -396,13 +392,15 @@ class WSSSSteps:
             s_loss = (self.dw * s_d_loss + self.l1w * l1_loss
                       + self.gw * g_loss + self.ncw * nc_loss)
             aux = (muts["batch_stats"], s_d_loss, l1_loss, nc_loss, g_loss,
-                   gen, ssim, perc, cmap_s)
+                   gen, ssim, perc)
             return s_loss, aux
 
-        (s_loss, aux), s_grads = jax.value_and_grad(s_loss_fn, has_aux=True)(
-            sstate.params
-        )
-        d_bs3, s_d_loss, l1_loss, nc_loss, g_loss, gen, ssim, perc, cmap_out = aux
+        (s_loss, aux), map_grads = jax.value_and_grad(
+            s_loss_fn, argnums=(0, 1), has_aux=True
+        )(cmap, ncmap)
+        d_bs3, s_d_loss, l1_loss, nc_loss, g_loss, gen, ssim, perc = aux
+        (s_grads,) = s_vjp(map_grads)
+        cmap_out = cmap
         ps, opt_s = apply_updates(sstate.params, sstate.opt_state, s_grads, self.tx_s, lr_s)
 
         sstate = NetState(params=ps, batch_stats=s_bs2, opt_state=opt_s)
@@ -514,11 +512,16 @@ class RSSSSteps:
     # -- adversarial step with synthesized unchanged pair (:266-354) --------
     def _adversarial(self, sstate: NetState, dstate: NetState, gstate: NetState,
                      x, y, ref, region, item, w, lr_s, lr_d):
-        cmap, s_muts = self.S.apply(
-            sstate.variables, x, y, train=True, mutable=["batch_stats"]
-        )
-        cmap = _f32(cmap)
-        s_bs = s_muts["batch_stats"]
+        # one segmentor forward captured with jax.vjp and reused by both the
+        # D and S objectives (torch retained-graph pattern, Demo_RSSS.py:285)
+        def s_fwd(ps):
+            cmap_, muts = self.S.apply(
+                {"params": ps, "batch_stats": sstate.batch_stats},
+                x, y, train=True, mutable=["batch_stats"],
+            )
+            return _f32(cmap_), muts["batch_stats"]
+
+        cmap, s_vjp, s_bs = jax.vjp(s_fwd, sstate.params, has_aux=True)
 
         cmask_sg = jax.lax.stop_gradient(
             cmap if self.continuous else L.hard_mask(cmap)
@@ -552,12 +555,7 @@ class RSSSSteps:
         y_fake = self.G.apply(gstate.variables, x, train=False)
         y_fake = jax.lax.stop_gradient(_f32(y_fake))
 
-        def s_loss_fn(ps):
-            cmap_s, _ = self.S.apply(
-                {"params": ps, "batch_stats": sstate.batch_stats},
-                x, y, train=True, mutable=["batch_stats"],
-            )
-            cmap_s = _f32(cmap_s)
+        def s_loss_fn(cmap_s):
             cmask = cmap_s if self.continuous else L.hard_mask(cmap_s)
             xm = x * (1 - cmask)
             ym = y * (1 - cmask)
@@ -573,13 +571,13 @@ class RSSSSteps:
             s_loss = (self.dw * s_d_loss + self.l1w * l1_loss
                       + self.gw * g_loss + self.rw * r_loss)
             aux = (muts["batch_stats"], s_d_loss, l1_loss, r_loss, g_loss,
-                   gen, ssim, perc, cmap_s)
+                   gen, ssim, perc)
             return s_loss, aux
 
-        (s_loss, aux), s_grads = jax.value_and_grad(s_loss_fn, has_aux=True)(
-            sstate.params
-        )
-        d_bs3, s_d_loss, l1_loss, r_loss, g_loss, gen, ssim, perc, cmap_out = aux
+        (s_loss, aux), g_cmap = jax.value_and_grad(s_loss_fn, has_aux=True)(cmap)
+        d_bs3, s_d_loss, l1_loss, r_loss, g_loss, gen, ssim, perc = aux
+        (s_grads,) = s_vjp(g_cmap)
+        cmap_out = cmap
         ps, opt_s = apply_updates(sstate.params, sstate.opt_state, s_grads, self.tx_s, lr_s)
 
         sstate = NetState(params=ps, batch_stats=s_bs, opt_state=opt_s)
