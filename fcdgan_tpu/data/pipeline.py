@@ -103,10 +103,6 @@ class PairBatchLoader(BatchLoader):
     """BatchLoader over pair datasets (WHUPairDataset): yields (changed,
     unchanged) Batch pair with a shared weight vector."""
 
-    def __iter__(self) -> Iterator[tuple]:
-        for batch in super().__iter__():
-            yield batch
-
     def __init__(self, dataset, batch_size, c_fields, nc_fields, **kw):
         self._c_fields = tuple(c_fields)
         self._nc_fields = tuple(nc_fields)

@@ -194,7 +194,8 @@ def run(cfg: WSSSConfig) -> Dict:
 
     for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
         db = put(batch)
-        cmap = np.asarray(steps.infer_train_mode(sstate, db["x"], db["y"]))
+        cmap_dev, sstate = steps.infer_train_mode(sstate, db["x"], db["y"])
+        cmap = np.asarray(cmap_dev)
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
             if batch["weight"][ns] == 0:

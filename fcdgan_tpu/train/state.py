@@ -36,19 +36,3 @@ def create_net_state(model, rng, example_inputs: Tuple, tx=None, train: bool = T
     batch_stats = variables.get("batch_stats", FrozenDict())
     opt_state = jax.jit(tx.init)(params) if tx is not None else None
     return NetState(params=params, batch_stats=batch_stats, opt_state=opt_state)
-
-
-def apply_model(model, state: NetState, *inputs, train: bool, update_stats: bool):
-    """Forward pass; returns (out, new_batch_stats).
-
-    ``update_stats`` mirrors torch semantics: a train-mode forward updates BN
-    running stats even when the net's optimizer never steps (e.g. the frozen
-    generator during USSS phase 2, Demo_USSS.py:219)."""
-    if train:
-        out, muts = model.apply(
-            state.variables, *inputs, train=True, mutable=["batch_stats"]
-        )
-        new_stats = muts["batch_stats"] if update_stats else state.batch_stats
-        return out, new_stats
-    out = model.apply(state.variables, *inputs, train=False)
-    return out, state.batch_stats

@@ -422,10 +422,13 @@ class WSSSSteps:
 
     def _infer_train_mode(self, sstate: NetState, x, y):
         """Final WSSS inference intentionally keeps train-mode BN ("train mode
-        gets better performance", Demo_WSSS.py:389-391); running stats are not
-        persisted."""
-        out, _ = self.S.apply(sstate.variables, x, y, train=True, mutable=["batch_stats"])
-        return _f32(out)
+        gets better performance", Demo_WSSS.py:389-391). torch updates BN
+        running statistics on train-mode forwards even under no_grad, and the
+        reference saves SModel afterwards — so the mutated stats are returned
+        for the driver to thread through."""
+        out, muts = self.S.apply(sstate.variables, x, y, train=True,
+                                 mutable=["batch_stats"])
+        return _f32(out), dataclasses.replace(sstate, batch_stats=muts["batch_stats"])
 
 
 # ---------------------------------------------------------------------------
