@@ -320,7 +320,7 @@ def torch_cnet_loss(target, generated, cmap, vgg, feature_layers, per_band):
         ym = generated[:, :3] * (1 - cmap)
         for fa, fb in zip(feats(xm), feats(ym)):
             perc = perc + tF.mse_loss(fa, fb) / n_layers
-    return float(gen.detach()), float(l1), float(perc)
+    return float(gen.detach()), float(l1.detach()), float(perc.detach())
 
 
 @pytest.mark.parametrize("per_band", [False, True])
