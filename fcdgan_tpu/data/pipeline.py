@@ -74,7 +74,9 @@ class BatchLoader:
     def num_samples(self) -> int:
         return len(self.dataset)
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _index_batches(self):
+        """Yield (idx, weight) per batch: shuffled epoch order, tail
+        wrap-padded to a fixed shape with weight-0 entries."""
         if self._epoch_hook is not None:
             self._epoch_hook(self._epoch)
         n = len(self.dataset)
@@ -93,6 +95,10 @@ class BatchLoader:
                     extra = np.resize(order, bs - len(idx))
                 idx = np.concatenate([idx, extra])
                 weight = np.concatenate([weight, np.zeros(bs - len(weight), np.float32)])
+            yield idx, weight
+
+    def __iter__(self) -> Iterator[Batch]:
+        for idx, weight in self._index_batches():
             samples = [self.dataset[int(i)] for i in idx]
             batch = _collate(samples, self.fields)
             batch["weight"] = weight
@@ -182,21 +188,7 @@ class NativeSceneBatchLoader(BatchLoader):
                          shuffle=shuffle, seed=seed)
 
     def __iter__(self) -> Iterator[Batch]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            self._rng.shuffle(order)
-        self._epoch += 1
-        bs = self.batch_size
-        for start in range(0, n, bs):
-            idx = order[start : start + bs]
-            weight = np.ones(len(idx), np.float32)
-            if len(idx) < bs:
-                extra = order[: bs - len(idx)]
-                if len(extra) < bs - len(idx):
-                    extra = np.resize(order, bs - len(idx))
-                idx = np.concatenate([idx, extra])
-                weight = np.concatenate([weight, np.zeros(bs - len(weight), np.float32)])
+        for idx, weight in self._index_batches():
             x, y = self._asm.assemble(idx.tolist())
             refs = []
             ph, pw = self.dataset.patch_size[1], self.dataset.patch_size[0]
@@ -255,23 +247,10 @@ class NativeOSCDBatchLoader(BatchLoader):
 
     def __iter__(self) -> Iterator[Batch]:
         ds = self.dataset
-        n = len(ds)
-        order = np.arange(n)
-        if self.shuffle:
-            self._rng.shuffle(order)
-        self._epoch += 1
         bs = self.batch_size
         ph, pw = ds.patch_size[1], ds.patch_size[0]
         nb = self._assemblers[0].nband
-        for start in range(0, n, bs):
-            idx = order[start : start + bs]
-            weight = np.ones(len(idx), np.float32)
-            if len(idx) < bs:
-                extra = order[: bs - len(idx)]
-                if len(extra) < bs - len(idx):
-                    extra = np.resize(order, bs - len(idx))
-                idx = np.concatenate([idx, extra])
-                weight = np.concatenate([weight, np.zeros(bs - len(weight), np.float32)])
+        for idx, weight in self._index_batches():
             x = np.zeros((bs, ph, pw, nb), np.float32)
             y = np.zeros((bs, ph, pw, nb), np.float32)
             # group batch positions by scene, one assembler call per scene
