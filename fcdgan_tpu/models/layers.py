@@ -16,7 +16,7 @@ parity choice (SURVEY.md section 7 "hard parts" #2).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +29,37 @@ def torch_kernel_init():
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+class _S2dConv(nn.Module):
+    """Conv with the same parameter tree as nn.Conv, computed through the
+    exact space-to-depth transform (ops/s2d_conv.py) — the lane-utilization
+    fix for large narrow kernels (e.g. the generator's 9x9 convs)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Any = None
+    bias_init: Any = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.s2d_conv import conv_s2d
+
+        k = self.kernel_size[0]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = conv_s2d(x.astype(dtype), kernel.astype(dtype))
+        return y + bias.astype(dtype)
+
+
 class TorchConv(nn.Module):
-    """nn.Conv with torch-default kernel/bias initialization."""
+    """nn.Conv with torch-default kernel/bias initialization.
+
+    Large narrow stride-1 kernels route through the exact space-to-depth
+    conv (identical parameter tree, see ops/s2d_conv.use_s2d)."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -53,6 +82,22 @@ class TorchConv(nn.Module):
         strides = self.strides
         if isinstance(strides, int):
             strides = (strides, strides)
+
+        from ..ops.s2d_conv import use_s2d
+
+        k = self.kernel_size[0]
+        if (
+            self.use_bias
+            and self.kernel_size[0] == self.kernel_size[1]
+            and padding == [((k - 1) // 2, (k - 1) // 2)] * 2
+            and use_s2d(x.shape[1], x.shape[2], k, x.shape[-1], self.features,
+                        strides)
+        ):
+            return _S2dConv(
+                self.features, self.kernel_size, name="Conv_0",
+                kernel_init=torch_kernel_init(), bias_init=bias_init,
+                dtype=self.dtype,
+            )(x)
         return nn.Conv(
             self.features,
             self.kernel_size,
