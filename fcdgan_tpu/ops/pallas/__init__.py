@@ -17,8 +17,11 @@ Evaluated and declined (documented so later rounds don't re-litigate):
   * fused threshold + interior-mask + confusion update — a (2, N)x(N, 2)
     einsum over one batch; MXU handles it in microseconds.
   * convolutions — XLA's scheduler beats hand-written pallas convs for these
-    shapes; the win came from dtype (bf16) and layout (matmul upsample), not
-    kernel authorship."""
+    shapes; the win came from dtype (bf16) and layout (matmul upsample,
+    space-to-depth for k>=7 narrow kernels), not kernel authorship. The
+    attempt is preserved in conv3x3.py with measurements: Mosaic's DMA
+    alignment forces 64->128 channel padding, doubling the contraction and
+    losing to XLA (5.3 vs 2.7 ms at the trunk shape)."""
 
 from .fused_ssim import ssim_level_pallas, use_pallas_ssim
 
