@@ -104,7 +104,7 @@ def _conv3x3_pallas_fwd(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False)
         kern,
         grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # padded input, DMA'd manually
             pl.BlockSpec((9 * cp, c_out), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
