@@ -100,6 +100,12 @@ class WSSSConfig:
     discriminator_continuous: bool = True
     stats_name: str = "stats"
 
+    # random-erase augmentation on the training datasets
+    # (reference wiring: CommonFunc.py:78-141, Demo_RSSS.py:96,128)
+    random_eraser: bool = False
+    eraser_regions: int = 1
+    erase_thresh: float = 0.3
+
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
@@ -155,6 +161,12 @@ class RSSSConfig:
     model_g_reuse: bool = True
     discriminator_continuous: bool = True
     stats_name: str = "statsMS"
+
+    # random-erase augmentation on the training dataset
+    # (reference wiring: CommonFunc.py:78-141, Demo_RSSS.py:96,128)
+    random_eraser: bool = False
+    eraser_regions: int = 1
+    erase_thresh: float = 0.3
 
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default

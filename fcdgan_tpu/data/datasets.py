@@ -275,7 +275,7 @@ class OSCDDataset:
         return int(self.cumlen[-1]) if self.cumlen else 0
 
     def _locate(self, item: int) -> Tuple[int, int]:
-        if item > self.cumlen[-1]:
+        if item >= self.cumlen[-1]:
             raise IndexError("item exceeds the len")
         ds_idx = int(np.searchsorted(np.asarray(self.cumlen), item, side="right"))
         cur = item - self.cumlen[ds_idx - 1] if ds_idx > 0 else item

@@ -79,3 +79,21 @@ class RandomEraserMultiRegion:
                 img[y : y + h, x : x + w, :] = 0
                 regions.append((x, y, w, h))
         return img, regions
+
+
+def build_eraser(enabled: bool, regions: int = 1, erase_thresh: float = 0.3,
+                 seed: Optional[int] = None):
+    """Config-driven eraser factory for the drivers.
+
+    ``regions <= 1`` builds :class:`RandomEraser` (the reference's commented
+    wiring at Demo_RSSS.py:96); ``regions > 1`` builds
+    :class:`RandomEraserMultiRegion` with that region cap (Demo_RSSS.py:128).
+    Returns ``None`` when disabled so callers can pass it straight as the
+    dataset ``transforms=``."""
+    if not enabled:
+        return None
+    rng = np.random.default_rng(seed)
+    if regions > 1:
+        return RandomEraserMultiRegion(erase_thresh=erase_thresh,
+                                       multi_region=regions, rng=rng)
+    return RandomEraser(erase_thresh=erase_thresh, rng=rng)

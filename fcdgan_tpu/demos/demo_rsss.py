@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import RSSSConfig, parse_cli
 from ..data.datasets import OSCDDataset, ScenePairDataset
+from ..data.erasers import build_eraser
 from ..data.normalize import Normalize
 from ..data.pipeline import BatchLoader, prefetch
 from ..data.stats import dataset_meanstd
@@ -67,8 +68,12 @@ def run(cfg: RSSSConfig) -> Dict:
 
     # -- datasets with per-scene normalizers (Demo_RSSS.py:75-134) -----------
     train_scalers = _scene_scalers(cfg.img_dir, cfg.txt_name, cfg.patch_size, cfg.stats_name)
+    # optional random-erase augmentation on the train scenes only
+    # (reference wiring: Demo_RSSS.py:96,128 / CommonFunc.py:78-141)
+    eraser = build_eraser(cfg.random_eraser, cfg.eraser_regions,
+                          cfg.erase_thresh, cfg.seed)
     dataset = OSCDDataset(cfg.img_dir, cfg.txt_name, scaler=train_scalers,
-                          transforms=[None] * len(train_scalers),
+                          transforms=[eraser] * len(train_scalers),
                           patch_size=cfg.patch_size, overlap_padding=cfg.overlap_padding)
     total = len(dataset)
     test_scalers = _scene_scalers(cfg.img_dir, cfg.test_txt_name, cfg.patch_size, cfg.stats_name)

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import WSSSConfig, parse_cli
 from ..data.datasets import WHUDataset, WHUPairDataset
+from ..data.erasers import build_eraser
 from ..data.normalize import Normalize
 from ..data.pipeline import BatchLoader, PairBatchLoader, prefetch
 from ..data.stats import dataset_meanstd
@@ -59,8 +60,12 @@ def run(cfg: WSSSConfig) -> Dict:
     scaler = Normalize(mean_x, std_x, mean_y, std_y)
 
     # -- datasets (Demo_WSSS.py:84-92) ----------------------------------------
+    # optional random-erase augmentation on the training datasets
+    # (reference wiring: Demo_RSSS.py:96,128 / CommonFunc.py:78-141)
+    eraser = build_eraser(cfg.random_eraser, cfg.eraser_regions,
+                          cfg.erase_thresh, cfg.seed)
     pair_ds = WHUPairDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
-                             scale=scaler, random_assign=False,
+                             scale=scaler, random_assign=False, transforms=eraser,
                              rng=random.Random(cfg.seed))
     total = len(pair_ds)
     fields = ("x", "y", "ref", "item", "label")
@@ -69,7 +74,7 @@ def run(cfg: WSSSConfig) -> Dict:
                                   nc_fields=fields, shuffle=True, seed=cfg.seed,
                                   epoch_hook=lambda e: pair_ds.order_reset())
     unc_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
-                        scale=scaler, label_selected="0")
+                        scale=scaler, label_selected="0", transforms=eraser)
     total_unc = len(unc_ds)
     unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
                              shuffle=True, seed=cfg.seed)

@@ -49,3 +49,17 @@ def test_multi_region_eraser_sync():
     assert 1 <= len(regions) <= 3
     y2, regions2 = er(np.ones_like(x), regions)
     np.testing.assert_array_equal(x2 == 0, y2 == 0)
+
+
+def test_build_eraser_factory():
+    from fcdgan_tpu.data.erasers import build_eraser
+
+    assert build_eraser(False) is None
+    er = build_eraser(True, regions=1, erase_thresh=0.2, seed=3)
+    assert isinstance(er, RandomEraser) and er.erase_thresh == 0.2
+    multi = build_eraser(True, regions=4, seed=3)
+    assert isinstance(multi, RandomEraserMultiRegion) and multi.multi_region == 4
+    # seeded: two factories with the same seed produce the same erase pattern
+    a, _ = build_eraser(True, seed=7)(np.ones((32, 32, 1), np.float32))
+    b, _ = build_eraser(True, seed=7)(np.ones((32, 32, 1), np.float32))
+    np.testing.assert_array_equal(a, b)
