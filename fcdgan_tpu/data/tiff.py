@@ -1,10 +1,13 @@
 """Minimal GeoTIFF codec — the raster substrate the reference gets from GDAL.
 
 This image has no GDAL/rasterio, so the framework carries its own TIFF
-reader/writer (classic TIFF, little/big endian, strips and tiles, uncompressed
-and deflate, planar/chunky, horizontal-predictor) with the geo metadata the
-reference relies on (geotransform + projection; GDALwriteDefault copies both
-from the input raster, /root/reference/data_utils.py:190-198).
+reader/writer (classic TIFF + BigTIFF, little/big endian, strips and tiles,
+uncompressed/deflate/LZW/PackBits, planar/chunky, horizontal-predictor) with
+the geo metadata the reference relies on (geotransform + projection;
+GDALwriteDefault copies both from the input raster,
+/root/reference/data_utils.py:190-198). The codec set covers what GDAL
+emits for the reference's datasets (OSCD ``*-cm.tif`` and WHU tiles are
+commonly LZW or PackBits; scenes >4 GB need BigTIFF's 8-byte offsets).
 
 Random-access semantics mirror GDAL:
   * :meth:`TiffReader.read_block` decodes only the strips/tiles covering the
@@ -44,8 +47,9 @@ _DTYPES = {
 }
 _DTYPE_TO_SF = {np.dtype(v): k for k, v in _DTYPES.items()}
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+               12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 GeoTransform = Tuple[float, float, float, float, float, float]
 
@@ -54,21 +58,91 @@ class TiffError(ValueError):
     pass
 
 
-def _read_ifd_entries(buf: bytes, off: int, bo: str) -> Tuple[Dict[int, tuple], int]:
-    (count,) = struct.unpack_from(bo + "H", buf, off)
+def _read_ifd_entries(buf: bytes, off: int, bo: str,
+                      big: bool = False) -> Tuple[Dict[int, tuple], int]:
+    """Parse one IFD. ``big`` selects BigTIFF layout: 8-byte entry counts,
+    20-byte entries with 8-byte inline values, 8-byte next-IFD pointer."""
+    if big:
+        (count,) = struct.unpack_from(bo + "Q", buf, off)
+        base, esize, inline, head_fmt, ptr_fmt = off + 8, 20, 8, "HHQ", "Q"
+    else:
+        (count,) = struct.unpack_from(bo + "H", buf, off)
+        base, esize, inline, head_fmt, ptr_fmt = off + 2, 12, 4, "HHI", "I"
     entries = {}
     for i in range(count):
-        tag, typ, n = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
-        val_off = off + 2 + 12 * i + 8
+        tag, typ, n = struct.unpack_from(bo + head_fmt, buf, base + esize * i)
+        val_off = base + esize * i + esize - inline
         size = _TYPE_SIZES.get(typ, 1) * n
-        if size > 4:
-            (ptr,) = struct.unpack_from(bo + "I", buf, val_off)
+        if size > inline:
+            (ptr,) = struct.unpack_from(bo + ptr_fmt, buf, val_off)
             raw = buf[ptr : ptr + size]
         else:
             raw = buf[val_off : val_off + size]
-        entries[tag] = (typ, n, raw)
-    (nxt,) = struct.unpack_from(bo + "I", buf, off + 2 + 12 * count)
+        # copy out of the mmap: long-lived tag views would block close()
+        entries[tag] = (typ, n, bytes(raw))
+    (nxt,) = struct.unpack_from(bo + ptr_fmt, buf, base + esize * count)
     return entries, nxt
+
+
+def _lzw_decode(data) -> bytes:
+    """TIFF-flavor LZW (compression 5): MSB-first codes, 9->12 bit widths with
+    the spec's "early change" (width bumps one code early), Clear=256, EOI=257.
+    TIFF 6.0 section 13; the format GDAL/libtiff write by default for LZW."""
+    data = bytes(data)
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: List[bytes] = []
+    prev: Optional[bytes] = None
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (window >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if not table or code >= len(table):
+                raise TiffError("LZW stream did not start with Clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data, expected: int) -> bytes:
+    """PackBits RLE (compression 32773, TIFF 6.0 section 9)."""
+    data = bytes(data)
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:  # literal run of ctrl+1 bytes
+            out += data[i : i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:  # repeat next byte 257-ctrl times
+            out += data[i : i + 1] * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    return bytes(out)
 
 
 def _values(entry: tuple, bo: str):
@@ -111,12 +185,18 @@ class TiffReader:
         else:
             raise TiffError(f"not a TIFF: {path}")
         (magic,) = struct.unpack_from(self._bo + "H", buf, 2)
-        if magic == 43:
-            raise TiffError("BigTIFF not supported")
-        if magic != 42:
+        if magic == 43:  # BigTIFF: 8-byte offsets everywhere
+            self._big = True
+            offsize, zero = struct.unpack_from(self._bo + "HH", buf, 4)
+            if offsize != 8 or zero != 0:
+                raise TiffError(f"bad BigTIFF header ({offsize}, {zero})")
+            (ifd_off,) = struct.unpack_from(self._bo + "Q", buf, 8)
+        elif magic == 42:
+            self._big = False
+            (ifd_off,) = struct.unpack_from(self._bo + "I", buf, 4)
+        else:
             raise TiffError(f"bad TIFF magic {magic}")
-        (ifd_off,) = struct.unpack_from(self._bo + "I", buf, 4)
-        self._tags, _ = _read_ifd_entries(buf, ifd_off, self._bo)
+        self._tags, _ = _read_ifd_entries(buf, ifd_off, self._bo, self._big)
 
         t = self._tag
         self.xsize = int(t(256)[0])
@@ -131,7 +211,7 @@ class TiffReader:
             raise TiffError(f"unsupported sample format {key}")
         self.dtype = np.dtype(_DTYPES[key]).newbyteorder(self._bo)
         self._compression = int(t(259, [1])[0])
-        if self._compression not in (1, 8, 32946):
+        if self._compression not in (1, 5, 8, 32773, 32946):
             raise TiffError(f"unsupported compression {self._compression}")
         self._predictor = int(t(317, [1])[0])
         self._planar = int(t(284, [1])[0])
@@ -181,8 +261,6 @@ class TiffReader:
         if idx in self._chunk_cache:
             return self._chunk_cache[idx]
         raw = self._buf[self._offsets[idx] : self._offsets[idx] + self._counts[idx]]
-        if self._compression in (8, 32946):
-            raw = zlib.decompress(raw)
         spp = self.nband if self._planar == 1 else 1
         if self._tiled:
             h, w = self._th, self._tw
@@ -191,6 +269,12 @@ class TiffReader:
             per_band_strips = (self.ysize + self._rps - 1) // self._rps
             row0 = (idx % per_band_strips) * self._rps
             h = min(self._rps, self.ysize - row0)
+        if self._compression in (8, 32946):
+            raw = zlib.decompress(raw)
+        elif self._compression == 5:
+            raw = _lzw_decode(raw)
+        elif self._compression == 32773:
+            raw = _packbits_decode(raw, h * w * spp * self.dtype.itemsize)
         arr = np.frombuffer(raw, dtype=self.dtype, count=h * w * spp).reshape(h, w, spp)
         if self._predictor == 2:
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(self.dtype)
@@ -267,7 +351,8 @@ class TiffReader:
             pass
 
 
-def _pack_entry(bo, tag, typ, values, heap: List[bytes], heap_base: int):
+def _pack_entry(bo, tag, typ, values, heap: List[bytes], heap_base: int,
+                big: bool = False):
     if typ == 2:  # ascii
         data = values.encode("latin-1") + b"\0"
         n = len(data)
@@ -275,11 +360,14 @@ def _pack_entry(bo, tag, typ, values, heap: List[bytes], heap_base: int):
         fmt = _TYPE_FMT[typ]
         data = struct.pack(bo + fmt * len(values), *values)
         n = len(values)
-    if len(data) <= 4:
-        return struct.pack(bo + "HHI", tag, typ, n) + data.ljust(4, b"\0"), None
+    inline = 8 if big else 4
+    head_fmt = "HHQ" if big else "HHI"
+    ptr_fmt = "Q" if big else "I"
+    if len(data) <= inline:
+        return struct.pack(bo + head_fmt, tag, typ, n) + data.ljust(inline, b"\0"), None
     ptr = heap_base + sum(len(h) for h in heap)
     heap.append(data if len(data) % 2 == 0 else data + b"\0")
-    return struct.pack(bo + "HHII", tag, typ, n, ptr), data
+    return struct.pack(bo + head_fmt + ptr_fmt, tag, typ, n, ptr), data
 
 
 class TiffWriter:
@@ -294,6 +382,7 @@ class TiffWriter:
         dtype=np.float32,
         geotransform: Optional[GeoTransform] = None,
         projection: str = "",
+        big_tiff: Optional[bool] = None,
     ):
         self.path = path
         self.xsize, self.ysize, self.nband = xsize, ysize, nband
@@ -307,6 +396,11 @@ class TiffWriter:
         row_bytes = xsize * nband * bpp
         # one strip per row: random-access offsets are pure arithmetic
         nstrips = ysize
+        if big_tiff is None:  # auto: classic TIFF offsets are 32-bit
+            big_tiff = row_bytes * ysize > 2**32 - 2**16
+        self.big_tiff = big = bool(big_tiff)
+        # offsets/counts as LONG8 in BigTIFF so >4 GB rasters address fully
+        off_typ = 16 if big else 4
 
         # photometric: RGB for >=3 bands (PIL/most viewers expect it),
         # BlackIsZero otherwise; bands beyond 3 are unspecified extra samples
@@ -338,31 +432,41 @@ class TiffWriter:
         if projection:
             tags.append((34737, 2, projection + "|"))
 
-        tags.append((273, 4, [0] * nstrips))  # placeholder, re-packed below
-        tags.append((279, 4, [row_bytes] * nstrips))
+        tags.append((273, off_typ, [0] * nstrips))  # placeholder, re-packed below
+        tags.append((279, off_typ, [row_bytes] * nstrips))
         tags.sort(key=lambda e: e[0])
 
         n_entries = len(tags)
-        ifd_off = 8
-        heap_base = ifd_off + 2 + 12 * n_entries + 4
+        if big:
+            ifd_off = 16
+            heap_base = ifd_off + 8 + 20 * n_entries + 8
+        else:
+            ifd_off = 8
+            heap_base = ifd_off + 2 + 12 * n_entries + 4
 
         # pass 1: compute heap layout (entry sizes depend only on counts)
         heap: List[bytes] = []
         for tag, typ, vals in tags:
-            _pack_entry(bo, tag, typ, vals, heap, heap_base)
+            _pack_entry(bo, tag, typ, vals, heap, heap_base, big)
         data_start = heap_base + sum(len(h) for h in heap)
 
         # pass 2: re-pack everything with the real strip offsets
         offsets = [data_start + i * row_bytes for i in range(nstrips)]
-        tags = [(273, 4, offsets) if t == 273 else (t, ty, v) for t, ty, v in tags]
+        tags = [(273, off_typ, offsets) if t == 273 else (t, ty, v) for t, ty, v in tags]
         heap = []
         entry_bufs = []
         for tag, typ, vals in tags:
-            buf, _ = _pack_entry(bo, tag, typ, vals, heap, heap_base)
+            buf, _ = _pack_entry(bo, tag, typ, vals, heap, heap_base, big)
             entry_bufs.append(buf)
 
-        header = struct.pack(bo + "2sHI", b"II", 42, ifd_off)
-        ifd = struct.pack(bo + "H", n_entries) + b"".join(entry_bufs) + struct.pack(bo + "I", 0)
+        if big:
+            header = struct.pack(bo + "2sHHHQ", b"II", 43, 8, 0, ifd_off)
+            ifd = (struct.pack(bo + "Q", n_entries) + b"".join(entry_bufs)
+                   + struct.pack(bo + "Q", 0))
+        else:
+            header = struct.pack(bo + "2sHI", b"II", 42, ifd_off)
+            ifd = (struct.pack(bo + "H", n_entries) + b"".join(entry_bufs)
+                   + struct.pack(bo + "I", 0))
         total = data_start + row_bytes * ysize
 
         with open(path, "wb") as f:

@@ -4,8 +4,8 @@
 // (/root/reference/data_utils.py:104-105 reads through GDAL's native core).
 // Exposes a C API (consumed from Python via ctypes, fcdgan_tpu/native/__init__.py):
 //
-//   * classic TIFF reader: strips/tiles, uncompressed + deflate, chunky +
-//     planar, u8/u16/i16/i32/u32/f32/f64 samples
+//   * TIFF reader (classic + BigTIFF): strips/tiles, uncompressed/deflate/
+//     LZW/PackBits, chunky + planar, u8/u16/i16/i32/u32/f32/f64 samples
 //   * ENVI reader: raw BSQ/BIL/BIP cubes described by a .hdr
 //   * tio_assemble_batch: the data hot path — for a batch of tile indices,
 //     compute the overlap-padded read windows (slice_assign parity with
@@ -109,6 +109,86 @@ inline float decode_at(const uint8_t* p, DType t, bool big_endian) {
   return 0.f;
 }
 
+// -- TIFF decompressors -------------------------------------------------------
+
+// TIFF-flavor LZW (compression 5): MSB-first codes, 9..12-bit widths with the
+// spec's early change (decoder bumps width when its table hits 2^w - 1).
+// Table entries store (prefix index, suffix byte, length); strings are
+// materialized by walking the prefix chain backwards.
+bool lzw_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                size_t expected) {
+  out.clear();
+  out.reserve(expected);
+  struct Ent { int32_t prefix; uint8_t suffix; uint32_t len; };
+  std::vector<Ent> table;
+  table.reserve(4096);
+  auto reset = [&]() {
+    table.clear();
+    for (int i = 0; i < 256; ++i) table.push_back({-1, (uint8_t)i, 1});
+    table.push_back({-1, 0, 0});  // 256 Clear
+    table.push_back({-1, 0, 0});  // 257 EOI
+  };
+  std::vector<uint8_t> scratch;
+  auto expand = [&](int32_t code) {
+    scratch.clear();
+    for (int32_t c = code; c >= 0; c = table[c].prefix) scratch.push_back(table[c].suffix);
+    out.insert(out.end(), scratch.rbegin(), scratch.rend());
+  };
+  size_t bitpos = 0, nbits = n * 8;
+  int width = 9;
+  int32_t prev = -1;
+  while (bitpos + width <= nbits) {
+    size_t b0 = bitpos >> 3;
+    uint32_t win = 0;
+    for (int i = 0; i < 4; ++i) win = (win << 8) | (b0 + i < n ? src[b0 + i] : 0);
+    int32_t code = (int32_t)((win >> (32 - (bitpos & 7) - width)) & ((1u << width) - 1));
+    bitpos += width;
+    if (code == 257) break;  // EOI
+    if (code == 256) { reset(); width = 9; prev = -1; continue; }
+    if (prev < 0) {
+      if (table.empty() || code >= (int32_t)table.size()) return false;
+      expand(code);
+    } else if (code < (int32_t)table.size()) {
+      expand(code);
+      // first byte of `code`'s string
+      int32_t c = code;
+      while (table[c].prefix >= 0) c = table[c].prefix;
+      table.push_back({prev, table[c].suffix, table[prev].len + 1});
+    } else if (code == (int32_t)table.size()) {
+      int32_t c = prev;
+      while (table[c].prefix >= 0) c = table[c].prefix;
+      table.push_back({prev, table[c].suffix, table[prev].len + 1});
+      expand(code);
+    } else {
+      return false;
+    }
+    prev = code;
+    if (table.size() == ((size_t)1 << width) - 1 && width < 12) ++width;
+  }
+  return true;
+}
+
+// PackBits RLE (compression 32773)
+bool packbits_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                     size_t expected) {
+  out.clear();
+  out.reserve(expected);
+  size_t i = 0;
+  while (i < n && out.size() < expected) {
+    uint8_t ctrl = src[i++];
+    if (ctrl < 128) {
+      size_t cnt = (size_t)ctrl + 1;
+      if (i + cnt > n) return false;
+      out.insert(out.end(), src + i, src + i + cnt);
+      i += cnt;
+    } else if (ctrl > 128) {
+      if (i >= n) return false;
+      out.insert(out.end(), (size_t)257 - ctrl, src[i++]);
+    }  // 128: no-op
+  }
+  return true;
+}
+
 // ---------------------------------------------------------------------------
 // TIFF reader
 // ---------------------------------------------------------------------------
@@ -136,42 +216,61 @@ struct TiffRaster : Raster {
     if (big_endian) v = __builtin_bswap32(v);
     return v;
   }
+  uint64_t rd64(size_t off) const {
+    uint64_t v; memcpy(&v, mf.data + off, 8);
+    if (big_endian) v = __builtin_bswap64(v);
+    return v;
+  }
 
-  struct Entry { uint16_t type; uint32_t count; size_t value_off; };
+  struct Entry { uint16_t type; uint64_t count; size_t value_off; };
 
   static int64_t type_size(uint16_t t) {
     switch (t) { case 1: case 2: case 6: case 7: return 1;
                  case 3: case 8: return 2; case 4: case 9: case 11: return 4;
-                 case 5: case 10: case 12: return 8; }
+                 case 5: case 10: case 12: case 16: case 17: case 18: return 8; }
     return 1;
   }
 
-  uint64_t entry_value(const Entry& e, uint32_t i) const {
+  uint64_t entry_value(const Entry& e, uint64_t i) const {
     size_t off = e.value_off + i * type_size(e.type);
     switch (e.type) {
       case 1: return mf.data[off];
       case 3: return rd16(off);
       case 4: return rd32(off);
+      case 16: case 17: case 18: return rd64(off);
       default: return 0;
     }
   }
 
   bool open(const char* path) {
-    if (!mf.open_file(path) || mf.size < 8) return false;
+    if (!mf.open_file(path) || mf.size < 16) return false;
     if (mf.data[0] == 'I' && mf.data[1] == 'I') big_endian = false;
     else if (mf.data[0] == 'M' && mf.data[1] == 'M') big_endian = true;
     else return false;
-    if (rd16(2) != 42) return false;
-    uint32_t ifd = rd32(4);
-    uint16_t n = rd16(ifd);
+    uint16_t magic = rd16(2);
+    bool big = false;       // BigTIFF: 8-byte offsets, 20-byte IFD entries
+    size_t ifd;
+    if (magic == 42) {
+      ifd = rd32(4);
+    } else if (magic == 43) {
+      if (rd16(4) != 8 || rd16(6) != 0) return false;
+      big = true;
+      ifd = (size_t)rd64(8);
+    } else {
+      return false;
+    }
+    uint64_t n = big ? rd64(ifd) : rd16(ifd);
+    size_t base = ifd + (big ? 8 : 2);
+    size_t esize = big ? 20 : 12;
+    int64_t inline_cap = big ? 8 : 4;
     std::map<uint16_t, Entry> tags;
-    for (uint16_t i = 0; i < n; ++i) {
-      size_t e = ifd + 2 + 12 * (size_t)i;
+    for (uint64_t i = 0; i < n; ++i) {
+      size_t e = base + esize * (size_t)i;
       uint16_t tag = rd16(e), type = rd16(e + 2);
-      uint32_t count = rd32(e + 4);
-      size_t voff = e + 8;
+      uint64_t count = big ? rd64(e + 4) : rd32(e + 4);
+      size_t voff = e + (big ? 12 : 8);
       int64_t sz = type_size(type) * (int64_t)count;
-      if (sz > 4) voff = rd32(e + 8);
+      if (sz > inline_cap) voff = big ? (size_t)rd64(voff) : rd32(voff);
       tags[tag] = Entry{type, count, voff};
     }
     auto get1 = [&](uint16_t tag, uint64_t dflt) -> uint64_t {
@@ -185,7 +284,8 @@ struct TiffRaster : Raster {
     compression = (int)get1(259, 1);
     predictor = (int)get1(317, 1);
     planar = (int)get1(284, 1);
-    if (compression != 1 && compression != 8 && compression != 32946) return false;
+    if (compression != 1 && compression != 5 && compression != 8 &&
+        compression != 32773 && compression != 32946) return false;
     if (sf == 1) dtype = bits == 8 ? DType::U8 : bits == 16 ? DType::U16 : DType::U32;
     else if (sf == 2) dtype = bits == 8 ? DType::I8 : bits == 16 ? DType::I16 : DType::I32;
     else if (sf == 3) dtype = bits == 32 ? DType::F32 : DType::F64;
@@ -194,7 +294,7 @@ struct TiffRaster : Raster {
       auto it = tags.find(tag);
       if (it == tags.end()) return false;
       out.resize(it->second.count);
-      for (uint32_t i = 0; i < it->second.count; ++i)
+      for (uint64_t i = 0; i < it->second.count; ++i)
         out[i] = entry_value(it->second, i);
       return true;
     };
@@ -222,30 +322,57 @@ struct TiffRaster : Raster {
     int64_t need = rows * cols * spp * dtype_size(dtype);
     if (compression == 1) {
       raw.assign(mf.data + offsets[idx], mf.data + offsets[idx] + counts[idx]);
+    } else if (compression == 5) {
+      if (!lzw_decode(mf.data + offsets[idx], (size_t)counts[idx], raw, (size_t)need))
+        raw.assign((size_t)need, 0);
+    } else if (compression == 32773) {
+      if (!packbits_decode(mf.data + offsets[idx], (size_t)counts[idx], raw, (size_t)need))
+        raw.assign((size_t)need, 0);
     } else {
       raw.resize(need);
       uLongf dst = (uLongf)need;
       uncompress(raw.data(), &dst, mf.data + offsets[idx], (uLong)counts[idx]);
       raw.resize(dst);
     }
-    if (predictor == 2 && dtype_size(dtype) <= 4) {
-      // horizontal differencing per row/band (integer types)
-      int64_t bpp = dtype_size(dtype);
-      for (int64_t r = 0; r < rows; ++r) {
-        uint8_t* rowp = raw.data() + r * cols * spp * bpp;
-        for (int64_t c = 1; c < cols; ++c)
-          for (int64_t s = 0; s < spp; ++s)
-            for (int64_t b = 0; b < bpp; ++b) {
-              // byte-wise add works for u8; for wider ints do per-sample below
-            }
-      }
-      // simple per-sample cumulative for u8 (the common predictor case)
-      if (dtype == DType::U8) {
+    if (predictor == 2) {
+      // undo horizontal differencing: per-sample cumulative sum along each
+      // row (modular integer add; TIFF 6.0 section 14)
+      if (dtype == DType::U8 || dtype == DType::I8) {
         for (int64_t r = 0; r < rows; ++r) {
           uint8_t* rowp = raw.data() + r * cols * spp;
           for (int64_t c = 1; c < cols; ++c)
             for (int64_t s = 0; s < spp; ++s)
               rowp[c * spp + s] = (uint8_t)(rowp[c * spp + s] + rowp[(c - 1) * spp + s]);
+        }
+      } else if (dtype == DType::U16 || dtype == DType::I16) {
+        for (int64_t r = 0; r < rows; ++r) {
+          uint8_t* rowp = raw.data() + r * cols * spp * 2;
+          for (int64_t c = 1; c < cols; ++c)
+            for (int64_t s = 0; s < spp; ++s) {
+              size_t cur = ((size_t)c * spp + s) * 2, pre = ((size_t)(c - 1) * spp + s) * 2;
+              uint16_t a, b;
+              memcpy(&a, rowp + cur, 2);
+              memcpy(&b, rowp + pre, 2);
+              if (big_endian) { a = (uint16_t)((a >> 8) | (a << 8)); b = (uint16_t)((b >> 8) | (b << 8)); }
+              uint16_t v = (uint16_t)(a + b);
+              if (big_endian) v = (uint16_t)((v >> 8) | (v << 8));
+              memcpy(rowp + cur, &v, 2);
+            }
+        }
+      } else if (dtype == DType::U32 || dtype == DType::I32) {
+        for (int64_t r = 0; r < rows; ++r) {
+          uint8_t* rowp = raw.data() + r * cols * spp * 4;
+          for (int64_t c = 1; c < cols; ++c)
+            for (int64_t s = 0; s < spp; ++s) {
+              size_t cur = ((size_t)c * spp + s) * 4, pre = ((size_t)(c - 1) * spp + s) * 4;
+              uint32_t a, b;
+              memcpy(&a, rowp + cur, 4);
+              memcpy(&b, rowp + pre, 4);
+              if (big_endian) { a = __builtin_bswap32(a); b = __builtin_bswap32(b); }
+              uint32_t v = a + b;
+              if (big_endian) v = __builtin_bswap32(v);
+              memcpy(rowp + cur, &v, 4);
+            }
         }
       }
     }

@@ -96,3 +96,34 @@ def test_native_assembly_without_normalization(tmp_path):
         px, py, _, _ = ds[i]
         np.testing.assert_allclose(nx[i], px, atol=1e-5)
         np.testing.assert_allclose(ny[i], py, atol=1e-5)
+
+
+@pytest.mark.parametrize("compression", [1, 8, 5, 32773])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("big", [False, True])
+def test_native_codec_matrix(tmp_path, compression, tiled, big):
+    # C++ reader covers the same {codec} x {layout} x {format} matrix as the
+    # Python substrate (VERDICT round-1 task 4)
+    from test_tiff_codecs import _sample, write_fixture
+
+    arr = _sample()
+    p = str(tmp_path / f"n_{compression}_{tiled}_{big}.tif")
+    write_fixture(p, arr, compression=compression, tiled=tiled, big=big)
+    r = native.NativeRaster(p)
+    assert (r.xsize, r.ysize, r.nband) == (29, 37, 3)
+    np.testing.assert_array_equal(r.read_block(), arr.astype(np.float32))
+    np.testing.assert_array_equal(r.read_block(10, 3, 15, 30),
+                                  arr[3:33, 10:25].astype(np.float32))
+    r.close()
+
+
+@pytest.mark.parametrize("compression", [5, 8, 32773])
+def test_native_predictor_16bit(tmp_path, compression):
+    from test_tiff_codecs import _sample, write_fixture
+
+    arr = (_sample(np.uint16, h=23, w=31, nb=1) * 101).astype(np.uint16)
+    p = str(tmp_path / "np.tif")
+    write_fixture(p, arr, compression=compression, predictor=2)
+    r = native.NativeRaster(p)
+    np.testing.assert_array_equal(r.read_block(), arr.astype(np.float32))
+    r.close()
