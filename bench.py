@@ -72,7 +72,28 @@ def main():
     # compile + measure FLOPs of the jitted step (state buffers donated)
     lowered = steps.joint.lower(gstate, sstate, x, y, ref, item, w, 1e-4, 1e-4)
     compiled = lowered.compile()
-    cost = compiled.cost_analysis()
+
+    # Baseline FLOPs must reflect the REFERENCE's math, not this step's: the
+    # space-to-depth rewrites trade extra FLOPs for lane utilization, so the
+    # transformed step's XLA count overstates what the reference would run.
+    # Lower the step once with the transforms disabled for the faithful count.
+    os.environ["FCDGAN_NO_S2D"] = "1"
+    try:
+        steps_plain = USSSSteps(
+            net_g, net_s, tx_g, tx_s, load_vgg16_params(),
+            PerceptionConfig(select_feature_layers(1), per_band=True,
+                             dtype="bfloat16" if dtype is not None else None),
+            perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
+            interior_sizes=interior, pad=pad,
+        )
+        plain = steps_plain.joint.lower(gstate, sstate, x, y, ref, item, w,
+                                        1e-4, 1e-4)
+        cost = plain.cost_analysis()
+        if not cost or not float((cost[0] if isinstance(cost, (list, tuple))
+                                  else cost).get("flops", 0.0)):
+            cost = plain.compile().cost_analysis()
+    finally:
+        del os.environ["FCDGAN_NO_S2D"]
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
     step_flops = float(cost.get("flops", 0.0)) if cost else 0.0

@@ -32,17 +32,18 @@ def torch_kernel_init():
 class _S2dConv(nn.Module):
     """Conv with the same parameter tree as nn.Conv, computed through the
     exact space-to-depth transform (ops/s2d_conv.py) — the lane-utilization
-    fix for large narrow kernels (e.g. the generator's 9x9 convs)."""
+    fix for narrow convs (the generator's 9x9s: 2-D; its 3x3 trunk: 1-D)."""
 
     features: int
     kernel_size: Tuple[int, int]
     kernel_init: Any = None
     bias_init: Any = None
     dtype: Optional[jnp.dtype] = None
+    mode: str = "2d"
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.s2d_conv import conv_s2d
+        from ..ops.s2d_conv import conv_s2d, conv_s2d_w
 
         k = self.kernel_size[0]
         kernel = self.param(
@@ -51,7 +52,8 @@ class _S2dConv(nn.Module):
         )
         bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         dtype = self.dtype or x.dtype
-        y = conv_s2d(x.astype(dtype), kernel.astype(dtype))
+        conv = conv_s2d if self.mode == "2d" else conv_s2d_w
+        y = conv(x.astype(dtype), kernel.astype(dtype))
         return y + bias.astype(dtype)
 
 
@@ -83,20 +85,22 @@ class TorchConv(nn.Module):
         if isinstance(strides, int):
             strides = (strides, strides)
 
-        from ..ops.s2d_conv import use_s2d
+        from ..ops.s2d_conv import s2d_mode
 
         k = self.kernel_size[0]
+        mode = None
         if (
             self.use_bias
             and self.kernel_size[0] == self.kernel_size[1]
             and padding == [((k - 1) // 2, (k - 1) // 2)] * 2
-            and use_s2d(x.shape[1], x.shape[2], k, x.shape[-1], self.features,
-                        strides)
         ):
+            mode = s2d_mode(x.shape[1], x.shape[2], k, x.shape[-1],
+                            self.features, strides)
+        if mode is not None:
             return _S2dConv(
                 self.features, self.kernel_size, name="Conv_0",
                 kernel_init=torch_kernel_init(), bias_init=bias_init,
-                dtype=self.dtype,
+                dtype=self.dtype, mode=mode,
             )(x)
         return nn.Conv(
             self.features,

@@ -92,6 +92,81 @@ def s2d_kernel(w: jnp.ndarray, pad: int, b: int = _BLOCK) -> Tuple[jnp.ndarray, 
     return w2, pad2
 
 
+def space_to_depth_w(x: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W/b, b*C); channel layout (px, c).
+
+    Pure reshape: W-adjacent pixels are memory-adjacent in NHWC, so this is
+    free (metadata-only) under XLA — unlike the 2-D transform, which
+    transposes."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // b, b * c)
+
+
+def depth_to_space_w(y: jnp.ndarray, c_out: int, b: int = _BLOCK) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth_w` with (qx, o) channel layout."""
+    n, h, w2, _ = y.shape
+    return y.reshape(n, h, w2 * b, c_out)
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_indices_w(k: int, pad: int, c_in: int, c_out: int, b: int = _BLOCK):
+    """Static indices mapping W[dy, dx, c, o] into the W-axis s2d kernel
+    W2[dy, tx, (rx, c), (qx, o)], plus the W-axis kernel extent."""
+    lo = min((q + d - pad) // b for q in range(b) for d in (0, k - 1))
+    hi = max((q + d - pad) // b for q in range(b) for d in (0, k - 1))
+    kt = hi - lo + 1
+    src = [[], []]  # dx, c
+    dst = [[], [], []]  # tx, cin2, qx
+    for qx in range(b):
+        for dx in range(k):
+            tx = (qx + dx - pad) // b - lo
+            rx = (qx + dx - pad) % b
+            for c in range(c_in):
+                src[0].append(dx)
+                src[1].append(c)
+                dst[0].append(tx)
+                dst[1].append(rx * c_in + c)
+                dst[2].append(qx)
+    src_idx = tuple(np.asarray(a, np.int32) for a in src)
+    dst_idx = tuple(np.asarray(a, np.int32) for a in dst)
+    return kt, -lo, src_idx, dst_idx
+
+
+def s2d_w_kernel(w: jnp.ndarray, pad: int, b: int = _BLOCK) -> Tuple[jnp.ndarray, int]:
+    """Scatter an HWIO kernel into its W-axis space-to-depth equivalent.
+
+    Returns (W2 of shape (k, kt, b*c_in, b*c_out), pad2 for the W axis)."""
+    k, _, c_in, c_out = w.shape
+    kt, pad2, src, dst = _scatter_indices_w(k, pad, c_in, c_out, b)
+    vals = w[:, src[0], src[1], :]  # (k, n_entries, c_out)
+    tx, cin2, qx = dst
+    out_cols = qx[:, None] * c_out + np.arange(c_out)[None, :]
+    # adjacent advanced indices broadcast to (n_entries, c_out) and replace
+    # the three indexed axes in place -> target selection is (k, n, c_out)
+    w2 = jnp.zeros((k, kt, b * c_in, b * c_out), w.dtype)
+    w2 = w2.at[:, tx[:, None], cin2[:, None], out_cols].set(vals)
+    return w2, pad2
+
+
+def conv_s2d_w(x: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
+    """Exact stride-1 SAME conv via W-axis space-to-depth.
+
+    Same preconditions as :func:`conv_s2d` but only W must divide b. FLOP
+    factor b*kt/k (~1.33 for 3x3, ~1.11 for 9x9) at 2x the channel width —
+    measured 3.2x fwd / 1.26x fwd+bwd on the generator trunk (b=2, bf16,
+    220px; experiments/gen_layout_bench.py)."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    c_out = w.shape[3]
+    x2 = space_to_depth_w(x, b)
+    w2, pad2 = s2d_w_kernel(w, pad, b)
+    y2 = jax.lax.conv_general_dilated(
+        x2, w2.astype(x2.dtype), (1, 1), [(pad, pad), (pad2, pad2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return depth_to_space_w(y2, c_out, b)
+
+
 def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
     """Exact stride-1 SAME conv via space-to-depth (preconditions below).
 
@@ -110,19 +185,32 @@ def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
     return depth_to_space(y2, c_out, b)
 
 
+def s2d_mode(h: int, w: int, k: int, c_in: int, c_out: int,
+             strides=(1, 1), b: int = _BLOCK):
+    """Pick the lane-utilization transform for a conv shape: '2d', '1d', None.
+
+    Measured rules on v5e (chained benchmarks, bs10 220px bf16):
+      * k >= 7 -> 2-D: 9x9 3->64 1.9x, 9x9 64->3 1.6x (FLOP factor
+        4*ceil((k+1)/2)^2/k^2 ~ 1.23 at k=9, lanes 64->256).
+      * k == 3 narrow -> 1-D (W axis): trunk fwd 3.2x, fwd+bwd 1.26x
+        (FLOP factor 2*kt/k = 2, lanes 64->128, reorg is a free reshape;
+        experiments/gen_layout_bench.py — the 2-D transform loses here,
+        factor 4).
+    Wide convs (>64ch) already fill the lanes: no transform."""
+    if os.environ.get("FCDGAN_NO_S2D") == "1":
+        return None
+    if strides not in ((1, 1), 1):
+        return None
+    if k % 2 != 1 or max(c_in, c_out) > 64 or min(h, w) < 2 * k:
+        return None
+    if k >= 7 and h % b == 0 and w % b == 0:
+        return "2d"
+    if k == 3 and w % b == 0:
+        return "1d"
+    return None
+
+
 def use_s2d(h: int, w: int, k: int, c_in: int, c_out: int,
             strides=(1, 1), b: int = _BLOCK) -> bool:
-    """Apply the transform when the conv is lane-starved and shapes qualify.
-
-    Measured rule on v5e (chained benchmarks, bs10 220px bf16): large narrow
-    kernels win (9x9 3->64: 1.9x, 9x9 64->3: 1.6x) because the scattered
-    kernel's FLOP factor 4*ceil((k+1)/2)^2/k^2 is ~1.23 at k=9; 3x3 loses
-    (factor 4). Hence k >= 7 only."""
-    if os.environ.get("FCDGAN_NO_S2D") == "1":
-        return False
-    if strides not in ((1, 1), 1):
-        return False
-    if k % 2 != 1 or k < 7 or h % b or w % b:
-        return False
-    # only narrow convs benefit; wide convs already fill the lanes
-    return max(c_in, c_out) <= 64 and min(h, w) >= 2 * k
+    """Back-compat boolean form of :func:`s2d_mode` (2-D only)."""
+    return s2d_mode(h, w, k, c_in, c_out, strides, b) == "2d"
