@@ -1,10 +1,10 @@
 """Benchmark: USSS joint-phase training throughput on the available device.
 
-Measures the flagship hot loop — the fused USSS joint step (generator +
-siamese U-Net forward, single combined backward, both optimizer updates,
-on-device confusion matrix) at the reference's production configuration
-(batch 10 of 220x220 tiles, per-band perception layer 1, 5-scale MS-SSIM;
-Demo_USSS.py:33-76) — and prints ONE JSON line:
+Default mode measures the flagship hot loop — the fused USSS joint step
+(generator + siamese U-Net forward, single combined backward, both optimizer
+updates, on-device confusion matrix) at the reference's production
+configuration (batch 10 of 220x220 tiles, per-band perception layer 1,
+5-scale MS-SSIM; Demo_USSS.py:33-76) — and prints ONE JSON line:
 
     {"metric": "usss_train_throughput", "value": <Mpx/s>, "unit": "Mpx/s",
      "vs_baseline": <value / estimated A100 reference>}
@@ -14,14 +14,208 @@ numbers and no GPU is available here, so the A100 PyTorch baseline is an
 *estimate*: reference step FLOPs (measured from this step's XLA cost analysis,
 scaled by 5/3 for the reference's second backward pass) at 35% utilization of
 A100 TF32 peak (156 TFLOP/s). vs_baseline > 1 means faster than that estimate.
+
+Extra modes (VERDICT.md round-1 tasks 5/6):
+
+    bench.py --inference [--density-dtype uint8]   full-scene stitched px/s
+    bench.py --batch-sweep                         single-chip bs 10..80 sweep
+    bench.py --scaling                             DP collective counts + step
+                                                   time on a virtual CPU mesh
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _setup_usss_step(batch=10, hw=220, nband=3, msssim_weights=None):
+    """Build the production USSS joint step + states + a synthetic batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.models import Generator, Segmentor
+    from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
+    from fcdgan_tpu.train.optim import adam
+    from fcdgan_tpu.train.state import create_net_state
+    from fcdgan_tpu.train.steps import PerceptionConfig, USSSSteps
+
+    pad = (10, 10)
+    dtype = (jnp.bfloat16
+             if os.environ.get("FCDGAN_BENCH_DTYPE", "bfloat16") == "bfloat16"
+             else None)
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    tx_g, tx_s = adam(), adam()
+    interior = np.tile([[hw - 2 * pad[1], hw - 2 * pad[0]]], (batch, 1)).astype(np.int32)
+    steps = USSSSteps(
+        net_g, net_s, tx_g, tx_s, load_vgg16_params(),
+        PerceptionConfig(select_feature_layers(1), per_band=True,
+                         dtype="bfloat16" if dtype is not None else None),
+        perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
+        interior_sizes=interior, pad=pad, msssim_weights=msssim_weights,
+    )
+    key = jax.random.PRNGKey(0)
+    zx = jnp.zeros((1, hw, hw, nband), jnp.float32)
+    gstate = create_net_state(net_g, key, (zx,), tx_g)
+    sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+    rng = np.random.default_rng(0)
+    data = dict(
+        x=rng.normal(size=(batch, hw, hw, nband)).astype(np.float32),
+        y=rng.normal(size=(batch, hw, hw, nband)).astype(np.float32),
+        ref=rng.integers(1, 3, size=(batch, hw, hw, 1)).astype(np.float32),
+        item=np.arange(batch, dtype=np.int32),
+        weight=np.ones(batch, np.float32),
+    )
+    return steps, gstate, sstate, data
+
+
+def bench_inference(density_dtype: str, scene_px: int = 1024):
+    """Full-scene stitched inference px/s (pipelined device compute + host
+    stitch). vs_baseline = speedup over this run's own float32-download path,
+    the honest in-container anchor (the reference's GPU inference rate is not
+    measurable here; BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import tempfile
+
+    from fcdgan_tpu.data.datasets import ScenePairDataset
+    from fcdgan_tpu.data.synthetic import make_usss_scene
+    from fcdgan_tpu.eval.inference import stitched_inference
+    from fcdgan_tpu.models import Segmentor
+    from fcdgan_tpu.train.optim import adam
+    from fcdgan_tpu.train.state import create_net_state
+
+    model = Segmentor(3, bilinear=True, dtype=jnp.bfloat16)
+    zx = jnp.zeros((1, 220, 220, 3))
+    sstate = create_net_state(model, jax.random.PRNGKey(0), (zx, zx), adam())
+    infer = jax.jit(lambda st, x, y: model.apply(
+        st.variables, x, y, train=False).astype(jnp.float32))
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_usss_scene(td, scene_px, scene_px, 3)
+
+        def run(dd):
+            out = os.path.join(td, f"density_{dd}.tif")
+            ds = ScenePairDataset(paths["x"], paths["y"], out_path=out,
+                                  patch_size=(220, 220), overlap_padding=(10, 10))
+            # warm the jit before timing
+            stitched_inference(ds, infer, sstate, batch_size=10,
+                               density_dtype=dd)
+            ds2 = ScenePairDataset(paths["x"], paths["y"], out_path=out,
+                                   patch_size=(220, 220), overlap_padding=(10, 10))
+            return stitched_inference(ds2, infer, sstate, batch_size=10,
+                                      density_dtype=dd)
+
+        base = run("float32")
+        stats = base if density_dtype == "float32" else run(density_dtype)
+
+    print(json.dumps({
+        "metric": f"usss_infer_throughput_{density_dtype}",
+        "value": round(stats["px_per_s"] / 1e6, 3),
+        "unit": "Mpx/s",
+        "vs_baseline": round(stats["px_per_s"] / base["px_per_s"], 3),
+    }))
+
+
+def bench_batch_sweep():
+    """Single-chip batch sweep: Mpx/s at bs 10..80 (bounds DP efficiency
+    analytically — a v5e-8 running global batch 80 is 8 chips at bs 10)."""
+    import jax
+
+    for bs in (10, 20, 40, 80):
+        steps, g, s, d = _setup_usss_step(batch=bs)
+        try:
+            g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
+                                  d["weight"], 1e-4, 1e-4)
+            jax.block_until_ready(m["NetLoss"])
+            n = 10
+            t0 = time.perf_counter()
+            for _ in range(n):
+                g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
+                                      d["weight"], 1e-4, 1e-4)
+            jax.block_until_ready(m["NetLoss"])
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": f"usss_train_throughput_bs{bs}",
+                "value": round(bs * 220 * 220 * n / dt / 1e6, 3),
+                "unit": "Mpx/s", "vs_baseline": -1.0,
+            }))
+        except Exception as e:  # OOM at large bs is a finding, not a crash
+            print(json.dumps({
+                "metric": f"usss_train_throughput_bs{bs}",
+                "value": -1.0, "unit": "Mpx/s", "vs_baseline": -1.0,
+                "error": type(e).__name__,
+            }))
+
+
+def bench_scaling():
+    """DP scaling evidence on the virtual CPU mesh: for n in 1,2,4,8 count
+    GSPMD collectives in the compiled sharded step and time it (weak scaling,
+    fixed per-device batch). Spawns workers so XLA_FLAGS applies pre-import."""
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(n)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        print(line[-1] if line else json.dumps(
+            {"metric": f"usss_dp_scaling_n{n}", "value": -1.0,
+             "unit": "ms/step", "vs_baseline": -1.0,
+             "error": out.stderr.strip()[-300:]}))
+
+
+def bench_scaling_worker(n: int):
+    """One weak-scaling point: per-device batch 2, hw 64, 2-scale MS-SSIM
+    (CPU-sized shapes; the point is collectives + relative step shape, not
+    absolute Mpx/s)."""
+    import jax
+
+    # sitecustomize registers the axon TPU backend at startup regardless of
+    # JAX_PLATFORMS; force the virtual-device CPU platform the conftest way
+    jax.config.update("jax_platforms", "cpu")
+
+    from fcdgan_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+
+    steps, g, s, d = _setup_usss_step(batch=2 * n, hw=64,
+                                      msssim_weights=(0.5, 0.5))
+    mesh = make_mesh(n)
+    db = shard_batch(d, mesh)
+    g, s = replicate_state(g, mesh), replicate_state(s, mesh)
+    compiled = steps.joint.lower(g, s, db["x"], db["y"], db["ref"], db["item"],
+                                 db["weight"], 1e-4, 1e-4).compile()
+    hlo = compiled.as_text()
+    n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
+
+    g, s, m = steps.joint(g, s, db["x"], db["y"], db["ref"], db["item"],
+                          db["weight"], 1e-4, 1e-4)
+    jax.block_until_ready(m["NetLoss"])
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g, s, m = steps.joint(g, s, db["x"], db["y"], db["ref"], db["item"],
+                              db["weight"], 1e-4, 1e-4)
+    jax.block_until_ready(m["NetLoss"])
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    print(json.dumps({
+        "metric": f"usss_dp_scaling_n{n}",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "vs_baseline": -1.0,
+        "all_reduce_ops": n_allreduce,
+        "devices": n,
+        "global_batch": 2 * n,
+    }))
 
 
 def main():
@@ -134,4 +328,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--inference", action="store_true")
+    ap.add_argument("--density-dtype", default="float32",
+                    choices=["float32", "bfloat16", "uint8"])
+    ap.add_argument("--scene-px", type=int, default=1024)
+    ap.add_argument("--batch-sweep", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-worker", type=int, default=0)
+    args = ap.parse_args()
+    if args.inference:
+        bench_inference(args.density_dtype, args.scene_px)
+    elif args.batch_sweep:
+        bench_batch_sweep()
+    elif args.scaling:
+        bench_scaling()
+    elif args.scaling_worker:
+        bench_scaling_worker(args.scaling_worker)
+    else:
+        main()

@@ -1,0 +1,1 @@
+"""ogr stub — imported but unused by the reference USSS path."""

@@ -48,6 +48,7 @@ def run(cfg: USSSConfig) -> Dict:
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     outdir = cfg.outdir or cfg.dir
+    os.makedirs(outdir, exist_ok=True)
     img_x = os.path.join(cfg.dir, cfg.image_x_name)
     img_y = os.path.join(cfg.dir, cfg.image_y_name)
     ref_path = os.path.join(cfg.dir, cfg.ref_name)

@@ -23,12 +23,25 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from ..ops.s2d_conv import depth_to_space_w, s2d_mode, space_to_depth_w
+
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         stem = TorchConv(64, (9, 9), padding=4, dtype=self.dtype)(x)
         stem = PReLU()(stem)
-        h = stem
+
+        # Whole-trunk W-axis space-to-depth: one (free) reshape in, the five
+        # residual blocks + trailing conv/BN at 128 lanes, one reshape out —
+        # exact rewrite; parameter tree identical to the plain path
+        # (VERDICT.md round-1 weak item 1; measured in
+        # experiments/gen_layout_bench.py).
+        s2d_trunk = s2d_mode(stem.shape[1], stem.shape[2], 3, 64, 64) == "1d"
+        h = space_to_depth_w(stem) if s2d_trunk else stem
         for _ in range(5):
-            h = ResidualBlock(64, **kw)(h, train)
-        h = TorchConv(64, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = BatchNorm(self.axis_name, self.dtype)(h, train)
+            h = ResidualBlock(64, s2d_w=s2d_trunk, **kw)(h, train)
+        h = TorchConv(64, (3, 3), padding=1, dtype=self.dtype,
+                      s2d_w_input=s2d_trunk)(h)
+        h = BatchNorm(self.axis_name, self.dtype,
+                      w_phases=2 if s2d_trunk else 1)(h, train)
+        if s2d_trunk:
+            h = depth_to_space_w(h, 64)
         return TorchConv(self.n_channels, (9, 9), padding=4, dtype=self.dtype)(stem + h)

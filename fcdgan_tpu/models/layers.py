@@ -32,7 +32,9 @@ def torch_kernel_init():
 class _S2dConv(nn.Module):
     """Conv with the same parameter tree as nn.Conv, computed through the
     exact space-to-depth transform (ops/s2d_conv.py) — the lane-utilization
-    fix for narrow convs (the generator's 9x9s: 2-D; its 3x3 trunk: 1-D)."""
+    fix for narrow convs (the generator's 9x9s: 2-D; its 3x3 trunk: 1-D).
+    Mode '1d_pre' consumes/produces tensors already in W-s2d layout (the
+    whole-trunk form; channel layouts: input (px, c), output (qx, o))."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -43,15 +45,19 @@ class _S2dConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.s2d_conv import conv_s2d, conv_s2d_w
+        from ..ops.s2d_conv import conv_s2d, conv_s2d_w, conv_s2d_w_pre
 
         k = self.kernel_size[0]
+        c_in = x.shape[-1] // 2 if self.mode == "1d_pre" else x.shape[-1]
         kernel = self.param(
-            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
+            "kernel", self.kernel_init, (k, k, c_in, self.features),
             jnp.float32,
         )
         bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         dtype = self.dtype or x.dtype
+        if self.mode == "1d_pre":
+            y = conv_s2d_w_pre(x.astype(dtype), kernel.astype(dtype))
+            return y + jnp.tile(bias.astype(dtype), 2)
         conv = conv_s2d if self.mode == "2d" else conv_s2d_w
         y = conv(x.astype(dtype), kernel.astype(dtype))
         return y + bias.astype(dtype)
@@ -69,14 +75,23 @@ class TorchConv(nn.Module):
     padding: Union[str, int] = "SAME"
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    s2d_w_input: bool = False  # x is already in W-s2d layout (whole trunk)
 
     @nn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1] * int(np.prod(self.kernel_size))
+        c_in = x.shape[-1] // 2 if self.s2d_w_input else x.shape[-1]
+        fan_in = c_in * int(np.prod(self.kernel_size))
         bound = 1.0 / np.sqrt(fan_in)
 
         def bias_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        if self.s2d_w_input:
+            return _S2dConv(
+                self.features, self.kernel_size, name="Conv_0",
+                kernel_init=torch_kernel_init(), bias_init=bias_init,
+                dtype=self.dtype, mode="1d_pre",
+            )(x)
 
         padding = self.padding
         if isinstance(padding, int):
@@ -114,14 +129,68 @@ class TorchConv(nn.Module):
         )(x)
 
 
-class BatchNorm(nn.Module):
-    """torch-semantics BatchNorm2d (momentum 0.1, eps 1e-5, optional sync)."""
+class _GroupedBatchNorm(nn.Module):
+    """BatchNorm over a tensor whose channel axis is (phases, C) — the W-s2d
+    layout. Exactly nn.BatchNorm on the de-reorganized tensor (the reorg is a
+    permutation of spatial positions): stats reduce over N, H, W AND the
+    phase groups; scale/bias/running stats stay per-C, so the parameter tree
+    is identical to the plain layout (checkpoint/golden interop)."""
 
+    phases: int
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
+        c = x.shape[-1] // self.phases
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        xg = x.reshape(x.shape[:-1] + (self.phases, c))
+        if train:
+            xf = xg.astype(jnp.float32)
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        dtype = self.dtype or x.dtype
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(dtype)
+        y = (xg - mean.astype(dtype)) * mul + bias.astype(dtype)
+        return y.reshape(x.shape).astype(dtype)
+
+
+class BatchNorm(nn.Module):
+    """torch-semantics BatchNorm2d (momentum 0.1, eps 1e-5, optional sync).
+
+    ``w_phases > 1``: input is in W-s2d layout; statistics aggregate across
+    the phase groups so the math equals plain BN on the original layout."""
+
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    w_phases: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.w_phases > 1:
+            return _GroupedBatchNorm(
+                self.w_phases, axis_name=self.axis_name, dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, train)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -262,17 +331,25 @@ class OutConv(nn.Module):
 
 
 class ResidualBlock(nn.Module):
-    """Conv3x3-BN-PReLU-Conv3x3-BN + identity (parity: Module.py:174-190)."""
+    """Conv3x3-BN-PReLU-Conv3x3-BN + identity (parity: Module.py:174-190).
+
+    ``s2d_w``: the block operates on a W-s2d-layout tensor end-to-end
+    (convs via scattered kernels, BN with phase-grouped statistics); exact,
+    identical parameter tree."""
 
     features: int
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    s2d_w: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        r = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
-        r = BatchNorm(self.axis_name, self.dtype)(r, train)
+        phases = 2 if self.s2d_w else 1
+        r = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      s2d_w_input=self.s2d_w)(x)
+        r = BatchNorm(self.axis_name, self.dtype, w_phases=phases)(r, train)
         r = PReLU()(r)
-        r = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype)(r)
-        r = BatchNorm(self.axis_name, self.dtype)(r, train)
+        r = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      s2d_w_input=self.s2d_w)(r)
+        r = BatchNorm(self.axis_name, self.dtype, w_phases=phases)(r, train)
         return x + r

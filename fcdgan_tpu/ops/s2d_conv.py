@@ -167,6 +167,20 @@ def conv_s2d_w(x: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
     return depth_to_space_w(y2, c_out, b)
 
 
+def conv_s2d_w_pre(x2: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
+    """:func:`conv_s2d_w` on an input ALREADY in W-s2d layout, keeping the
+    output in that layout — the whole-trunk form: one reshape into s2d space,
+    the full residual trunk (convs + BN + PReLU + skips) at 2x lanes, one
+    reshape out (VERDICT.md round-1 weak item 1)."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    w2, pad2 = s2d_w_kernel(w, pad, b)
+    return jax.lax.conv_general_dilated(
+        x2, w2.astype(x2.dtype), (1, 1), [(pad, pad), (pad2, pad2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
     """Exact stride-1 SAME conv via space-to-depth (preconditions below).
 

@@ -43,3 +43,15 @@ def test_stitched_inference_matches_sequential(tmp_path):
     a = TiffReader(out_a).read_block()
     b = TiffReader(out_b).read_block()
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # quantized downloads (VERDICT round-1 task 6): uint8 within 1/510 of the
+    # exact density, bfloat16 within 1 bf16 ulp (~0.4% relative at [0,1])
+    for dd, atol in (("uint8", 1.0 / 510 + 1e-6), ("bfloat16", 0.004)):
+        out_q = str(tmp_path / f"q_{dd}.tif")
+        ds_q = ScenePairDataset(paths["x"], paths["y"], out_path=out_q,
+                                patch_size=(48, 48), overlap_padding=(4, 4))
+        stats_q = stitched_inference(ds_q, infer, sstate, batch_size=4,
+                                     density_dtype=dd)
+        assert stats_q["pixels"] == 96 * 80
+        q = TiffReader(out_q).read_block()
+        np.testing.assert_allclose(q, b, atol=atol)

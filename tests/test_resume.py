@@ -58,6 +58,7 @@ def test_start_epochs_phase_logic():
     assert s["g"] >= 10**8 and s["s"] >= 10**8 and s["joint"] == 10
 
 
+@pytest.mark.slow
 def test_usss_driver_resume_skips_completed_epochs(tmp_path, capsys):
     """Run the driver with checkpoints, then resume: completed phases skip."""
     from fcdgan_tpu.config import USSSConfig

@@ -65,6 +65,7 @@ def usss_states(usss):
     return g, s
 
 
+@pytest.mark.slow
 def test_usss_g_pretrain_descends(usss, usss_states, batch):
     g = clone(usss_states[0])
     losses = []
@@ -75,6 +76,7 @@ def test_usss_g_pretrain_descends(usss, usss_states, batch):
     assert losses[-1] < losses[0], f"G loss must descend: {losses}"
 
 
+@pytest.mark.slow
 def test_usss_s_init_updates_both_stats(usss, usss_states, batch):
     g, s = clone(usss_states[0]), clone(usss_states[1])
     g2, s2, m = usss.s_init(clone(g), clone(s), batch["x"], batch["y"], batch["ref"],
@@ -180,6 +182,7 @@ def test_usss_joint_gradient_identity(batch, vggp):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_usss_joint_step_runs_and_updates(usss, usss_states, batch):
     g, s = clone(usss_states[0]), clone(usss_states[1])
     g2, s2, m = usss.joint(clone(g), clone(s), batch["x"], batch["y"], batch["ref"],
@@ -193,6 +196,7 @@ def test_usss_joint_step_runs_and_updates(usss, usss_states, batch):
     assert changed_g and changed_s
 
 
+@pytest.mark.slow
 def test_usss_infer_in_eval_mode(usss, usss_states, batch):
     _, s = usss_states
     out = usss.infer(s, batch["x"], batch["y"])
@@ -215,6 +219,7 @@ def wsss(vggp):
     )
 
 
+@pytest.mark.slow
 def test_wsss_adversarial_step(wsss, batch):
     k = jax.random.PRNGKey(2)
     x = jnp.zeros((2, HW, HW, 3))
@@ -238,6 +243,7 @@ def test_wsss_adversarial_step(wsss, batch):
             lambda a, b: bool((a != b).any()), st.params, st2.params)))
 
 
+@pytest.mark.slow
 def test_wsss_g_pretrain_descends(wsss, batch):
     k = jax.random.PRNGKey(3)
     g = create_net_state(wsss.G, k, (jnp.zeros((2, HW, HW, 3)),), adam())
@@ -264,6 +270,7 @@ def rsss(vggp):
     )
 
 
+@pytest.mark.slow
 def test_rsss_adversarial_step(rsss, batch):
     k = jax.random.PRNGKey(4)
     x = jnp.zeros((2, HW, HW, 3))
@@ -283,6 +290,7 @@ def test_rsss_adversarial_step(rsss, batch):
     assert cm.shape == (2, 2) and cmap.shape == (2, HW, HW, 1)
 
 
+@pytest.mark.slow
 def test_rsss_g_pretrain_with_region_mask(rsss, batch):
     k = jax.random.PRNGKey(5)
     g = create_net_state(rsss.G, k, (jnp.zeros((2, HW, HW, 3)),), adam())

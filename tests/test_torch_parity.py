@@ -179,6 +179,7 @@ class TorchSegmentor(tnn.Module):
         return torch.sigmoid(self.outc(h))
 
 
+@pytest.mark.slow
 def test_segmentor_forward_matches_torch():
     model = Segmentor(3, bilinear=True)
     rng = np.random.default_rng(5)
