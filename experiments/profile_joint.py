@@ -105,6 +105,32 @@ def main():
     except Exception as e:
         print("perception isolation skipped:", type(e).__name__, str(e)[:120])
 
+    # full CNet loss (masked L1 rescale + perception + MS-SSIM fwd) wrt
+    # (y_fake, cmap) — the joint step's loss stack without the models
+    cmap0 = jnp.asarray(rng.uniform(size=(B, HW, HW, 1)).astype(np.float32))
+
+    def cnet_fwdbwd(xx):
+        def loss(yy, cm):
+            gen, l1, perc, ssim = L.cnet_loss(
+                xx, yy, cm, vgg, taps, perception_per_band=True,
+                ssim_grad=False,
+                perception_dtype=pdt,
+            )
+            return gen + 0.4 * perc + 0.65 * l1
+        gy, gc = jax.grad(loss, argnums=(0, 1))(y, cmap0)
+        return xx + gy.mean() * 1e-9 + gc.mean() * 1e-9
+
+    res["cnet loss fwd+bwd"] = timeit(jax.jit(cnet_fwdbwd), x)
+
+    # MS-SSIM forward alone (5 scales, pallas level kernel, no grad)
+    from fcdgan_tpu.ops.ssim import ms_ssim
+
+    def ssim_fwd(xx):
+        v = ms_ssim(xx, y, data_range=1.0)
+        return xx + v.mean() * 1e-9
+
+    res["ms-ssim fwd"] = timeit(jax.jit(ssim_fwd), x)
+
     for name, dt in res.items():
         print(f"{name:22s}: {dt*1e3:8.2f} ms")
 

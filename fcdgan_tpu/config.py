@@ -51,6 +51,8 @@ class USSSConfig:
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
+    siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
+    density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
@@ -109,6 +111,8 @@ class WSSSConfig:
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
+    siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
+    density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
@@ -171,6 +175,8 @@ class RSSSConfig:
     msssim_weights: Optional[Tuple[float, ...]] = None
     platform: Optional[str] = None  # force jax platform ('cpu'/'tpu'); None = default
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
+    siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
+    density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0

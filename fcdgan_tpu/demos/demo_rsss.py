@@ -108,7 +108,8 @@ def run(cfg: RSSSConfig) -> Dict:
     nband = dataset[0][0].shape[-1]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     net_g = Generator(nband, dtype=dtype)
-    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype,
+                       siamese_stats=cfg.siamese_stats)
     net_d = Discriminator(nband, dtype=dtype)
     tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
     vggp = load_vgg16_params(cfg.vgg_npz)
@@ -226,9 +227,12 @@ def run(cfg: RSSSConfig) -> Dict:
     acc = Evaluator(num_class=len(cfg.gt_map))
     density_name = "{}{}".format(cfg.out_name_density, cfg.ext)
     color_name = "{}{}".format(cfg.out_name_binary, cfg.ext)
+    from ..eval.inference import quantized_infer
+
+    infer_q, dequant = quantized_infer(steps.infer, cfg.density_dtype)
     for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
         db = put(batch)
-        cmap = np.asarray(steps.infer(sstate, db["x"], db["y"]))
+        cmap = dequant(infer_q(sstate, db["x"], db["y"]))
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
             if batch["weight"][ns] == 0:

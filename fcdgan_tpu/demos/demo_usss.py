@@ -94,7 +94,8 @@ def run(cfg: USSSConfig) -> Dict:
     nband = dataset.size()[2]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     net_g = Generator(nband, dtype=dtype)
-    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype,
+                       siamese_stats=cfg.siamese_stats)
     tx_g, tx_s = adam(), adam()
     vggp = load_vgg16_params(cfg.vgg_npz)
     steps = USSSSteps(
@@ -216,9 +217,12 @@ def run(cfg: USSSConfig) -> Dict:
     out_color = None
     pad = cfg.overlap_padding
     processed = 0
+    from ..eval.inference import quantized_infer
+
+    infer_q, dequant = quantized_infer(steps.infer, cfg.density_dtype)
     for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
         db = put(batch)
-        cmap = np.asarray(steps.infer(sstate, db["x"], db["y"]))
+        cmap = dequant(infer_q(sstate, db["x"], db["y"]))
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
             if batch["weight"][ns] == 0:

@@ -92,7 +92,8 @@ def run(cfg: WSSSConfig) -> Dict:
     hw = sample.shape[:2]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     net_g = Generator(nband, dtype=dtype)
-    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype,
+                       siamese_stats=cfg.siamese_stats)
     net_d = Discriminator(nband, dtype=dtype)
     tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
     vggp = load_vgg16_params(cfg.vgg_npz)

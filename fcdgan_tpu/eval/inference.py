@@ -20,6 +20,27 @@ import numpy as np
 from ..data.pipeline import BatchLoader, prefetch
 
 
+def quantized_infer(infer_fn: Callable, density_dtype: str = "float32"):
+    """Wrap a jitted density forward with a device-side download quantizer.
+
+    Returns ``(fn, dequant)``: ``fn`` downloads uint8/bfloat16/float32 per
+    ``density_dtype``; ``dequant(device_out) -> float32 ndarray`` restores
+    the density host-side. See ``stitched_inference`` for the error bounds."""
+    if density_dtype == "float32":
+        return infer_fn, lambda a: np.asarray(a, dtype=np.float32)
+    import jax
+    import jax.numpy as jnp
+
+    if density_dtype == "uint8":
+        fn = jax.jit(lambda *a: (
+            jnp.clip(infer_fn(*a), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
+        return fn, lambda a: np.asarray(a).astype(np.float32) / 255.0
+    if density_dtype == "bfloat16":
+        fn = jax.jit(lambda *a: infer_fn(*a).astype(jnp.bfloat16))
+        return fn, lambda a: np.asarray(a).astype(np.float32)
+    raise ValueError(f"density_dtype must be float32/uint8/bfloat16, got {density_dtype}")
+
+
 def stitched_inference(
     dataset,
     infer_fn: Callable,
@@ -45,20 +66,7 @@ def stitched_inference(
     preserving thresholding at 0.5; 'float32' is the exact default. On
     low-bandwidth device->host links (the axon relay here; PCIe on real pods)
     the download dominates full-scene inference — see BASELINE.md."""
-    if density_dtype not in ("float32", "uint8", "bfloat16"):
-        raise ValueError(f"density_dtype must be float32/uint8/bfloat16, got {density_dtype}")
-    if density_dtype != "float32":
-        import jax
-        import jax.numpy as jnp
-
-        base_fn = infer_fn
-        if density_dtype == "uint8":
-            infer_fn = jax.jit(lambda s, x, y: (
-                jnp.clip(base_fn(s, x, y), 0.0, 1.0) * 255.0 + 0.5
-            ).astype(jnp.uint8))
-        else:
-            infer_fn = jax.jit(
-                lambda s, x, y: base_fn(s, x, y).astype(jnp.bfloat16))
+    infer_fn, dequant = quantized_infer(infer_fn, density_dtype)
 
     loader = None
     if use_native:
@@ -83,11 +91,7 @@ def stitched_inference(
                 if job is sentinel:
                     return
                 cmap, items, weights = job
-                cmap = np.asarray(cmap)
-                if density_dtype == "uint8":
-                    cmap = cmap.astype(np.float32) / 255.0
-                else:
-                    cmap = cmap.astype(np.float32)
+                cmap = dequant(cmap)
                 for ns in range(len(items)):
                     if weights[ns] == 0:
                         continue

@@ -229,6 +229,46 @@ class DoubleConv(nn.Module):
         return nn.relu(x)
 
 
+def _up2(t):
+    """Nearest-neighbour 2x upsample on H and W (broadcast + reshape)."""
+    n, h, w, c = t.shape
+    t = jnp.broadcast_to(t[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return t.reshape(n, 2 * h, 2 * w, c)
+
+
+@jax.custom_vjp
+def max_pool_2x2(x):
+    """2x2/2 max pool whose backward is an equality mask instead of XLA's
+    select-and-scatter (measured 5.4 ms/step of select_and_scatter in the
+    joint-step trace; the mask form is a handful of fused elementwise ops).
+    Gradient ties (equal maxima in a window, e.g. ReLU zeros) are split
+    evenly — sum-preserving, vs select-and-scatter routing to one arbitrary
+    winner. FCDGAN_NO_FASTPOOL=1 restores nn.max_pool."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _mp_fwd(x):
+    y = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return y, (x, y)
+
+
+def _mp_bwd(res, dy):
+    x, y = res
+    n, h2, w2, c = y.shape
+    xc = x[:, : 2 * h2, : 2 * w2, :]
+    mask = (xc == _up2(y)).astype(dy.dtype)
+    cnt = jax.lax.reduce_window(
+        mask, jnp.zeros((), dy.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    dxc = mask * _up2(dy / jnp.maximum(cnt, 1))
+    h, w = x.shape[1], x.shape[2]
+    dx = jnp.pad(dxc, ((0, 0), (0, h - 2 * h2), (0, w - 2 * w2), (0, 0)))
+    return (dx,)
+
+
+max_pool_2x2.defvjp(_mp_fwd, _mp_bwd)
+
+
 class Down(nn.Module):
     """MaxPool2 -> DoubleConv (parity: Module.py:38-49)."""
 
@@ -238,7 +278,12 @@ class Down(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        import os
+
+        if os.environ.get("FCDGAN_NO_FASTPOOL") == "1":
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        else:
+            x = max_pool_2x2(x)
         return DoubleConv(self.features, axis_name=self.axis_name, dtype=self.dtype)(x, train)
 
 

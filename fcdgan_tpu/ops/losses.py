@@ -94,8 +94,14 @@ def perception_loss(
         n_rep = n_channels
 
     loss = jnp.zeros((), jnp.float32)
-    fx = vgg_mod.vgg16_features(x, vgg_params, feature_layers, dtype=dtype)
-    fy = vgg_mod.vgg16_features(y, vgg_params, feature_layers, dtype=dtype)
+    # one stacked VGG pass over both branches: double the conv batch (better
+    # MXU fill at this model's 64-ch early layers) and half the kernel count
+    n_stack = x.shape[0]
+    feats = vgg_mod.vgg16_features(
+        jnp.concatenate([x, y], axis=0), vgg_params, feature_layers, dtype=dtype
+    )
+    fx = [f[:n_stack] for f in feats]
+    fy = [f[n_stack:] for f in feats]
     wn = jnp.maximum(w.sum(), 1.0)
     for a, b in zip(fx, fy):
         # per-sample MSE -> weighted batch mean (== torch global MSE when

@@ -78,18 +78,39 @@ def _scatter_indices(k: int, pad: int, c_in: int, c_out: int, b: int = _BLOCK):
 
 
 def s2d_kernel(w: jnp.ndarray, pad: int, b: int = _BLOCK) -> Tuple[jnp.ndarray, int]:
-    """Scatter an HWIO kernel into its space-to-depth equivalent.
+    """Rearrange an HWIO kernel into its space-to-depth equivalent.
 
-    Returns (W2 of shape (kt, kt, b*b*c_in, b*b*c_out), pad2)."""
+    Returns (W2 of shape (kt, kt, b*b*c_in, b*b*c_out), pad2).
+
+    Slice-based construction (see :func:`s2d_w_kernel`): one strided slice
+    per (output phase, input phase) pair on each spatial axis, padded into
+    its block — the VJP stays slicing instead of gathers."""
     k, _, c_in, c_out = w.shape
-    kt, pad2, src, dst = _scatter_indices(k, pad, c_in, c_out, b)
-    vals = w[src[0], src[1], src[2], :]  # (n_entries, c_out)
-    w2 = jnp.zeros((kt, kt, b * b * c_in, b * b * c_out), w.dtype)
-    # one scatter per output phase block: dst[3] selects the o-block
-    ty, tx, cin2, qblock = dst
-    out_cols = qblock[:, None] * c_out + np.arange(c_out)[None, :]
-    w2 = w2.at[ty[:, None], tx[:, None], cin2[:, None], out_cols].set(vals)
-    return w2, pad2
+    kt, pad2, _, _ = _scatter_indices(k, pad, c_in, c_out, b)
+    parts = []
+    for qy in range(b):
+        for ry in range(b):
+            dy0 = (ry - qy + pad) % b
+            if dy0 >= k:
+                continue
+            ty0 = (qy + dy0 - pad - ry) // b + pad2
+            for qx in range(b):
+                for rx in range(b):
+                    dx0 = (rx - qx + pad) % b
+                    if dx0 >= k:
+                        continue
+                    sl = w[dy0::b, dx0::b, :, :]  # (my, mx, c_in, c_out)
+                    my, mx = sl.shape[0], sl.shape[1]
+                    tx0 = (qx + dx0 - pad - rx) // b + pad2
+                    cin0 = (ry * b + rx) * c_in
+                    cout0 = (qy * b + qx) * c_out
+                    parts.append(jnp.pad(sl, (
+                        (ty0, kt - ty0 - my),
+                        (tx0, kt - tx0 - mx),
+                        (cin0, (b * b) * c_in - cin0 - c_in),
+                        (cout0, (b * b) * c_out - cout0 - c_out),
+                    )))
+    return sum(parts), pad2
 
 
 def space_to_depth_w(x: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
@@ -133,19 +154,33 @@ def _scatter_indices_w(k: int, pad: int, c_in: int, c_out: int, b: int = _BLOCK)
 
 
 def s2d_w_kernel(w: jnp.ndarray, pad: int, b: int = _BLOCK) -> Tuple[jnp.ndarray, int]:
-    """Scatter an HWIO kernel into its W-axis space-to-depth equivalent.
+    """Rearrange an HWIO kernel into its W-axis space-to-depth equivalent.
 
-    Returns (W2 of shape (k, kt, b*c_in, b*c_out), pad2 for the W axis)."""
+    Returns (W2 of shape (k, kt, b*c_in, b*c_out), pad2 for the W axis).
+
+    Built from b*b strided SLICES of the canonical kernel (for fixed output
+    phase qx and input phase rx the tap map dx -> tx is affine with stride b),
+    padded into place and summed — so the VJP is strided slicing, not the
+    gathers a scatter-based construction emits (measured ~6 ms/step of pure
+    gather in the joint-step device trace)."""
     k, _, c_in, c_out = w.shape
-    kt, pad2, src, dst = _scatter_indices_w(k, pad, c_in, c_out, b)
-    vals = w[:, src[0], src[1], :]  # (k, n_entries, c_out)
-    tx, cin2, qx = dst
-    out_cols = qx[:, None] * c_out + np.arange(c_out)[None, :]
-    # adjacent advanced indices broadcast to (n_entries, c_out) and replace
-    # the three indexed axes in place -> target selection is (k, n, c_out)
-    w2 = jnp.zeros((k, kt, b * c_in, b * c_out), w.dtype)
-    w2 = w2.at[:, tx[:, None], cin2[:, None], out_cols].set(vals)
-    return w2, pad2
+    kt, pad2, _, _ = _scatter_indices_w(k, pad, c_in, c_out, b)
+    parts = []
+    for qx in range(b):
+        for rx in range(b):
+            d0 = (rx - qx + pad) % b
+            if d0 >= k:
+                continue
+            sl = w[:, d0::b, :, :]  # (k, m, c_in, c_out)
+            m = sl.shape[1]
+            tx0 = (qx + d0 - pad - rx) // b + pad2
+            parts.append(jnp.pad(sl, (
+                (0, 0),
+                (tx0, kt - tx0 - m),
+                (rx * c_in, (b - 1 - rx) * c_in),
+                (qx * c_out, (b - 1 - qx) * c_out),
+            )))
+    return sum(parts), pad2
 
 
 def conv_s2d_w(x: jnp.ndarray, w: jnp.ndarray, b: int = _BLOCK) -> jnp.ndarray:
@@ -217,8 +252,15 @@ def s2d_mode(h: int, w: int, k: int, c_in: int, c_out: int,
         return None
     if k % 2 != 1 or max(c_in, c_out) > 64 or min(h, w) < 2 * k:
         return None
-    if k >= 7 and h % b == 0 and w % b == 0:
-        return "2d"
+    if k >= 7 and w % b == 0:
+        # W-axis-only for the large kernels: free reshape instead of the 2-D
+        # transpose, FLOP factor ~1.11 vs ~1.23 at half the lanes — measured
+        # FASTER end-to-end on v5e (joint 3.16 -> 3.25 Mpx/s; round 2).
+        # FCDGAN_S2D_K9=2d restores the 2-D transform for experiments.
+        mode = os.environ.get("FCDGAN_S2D_K9", "1d")
+        if mode == "2d" and h % b != 0:
+            mode = "1d"
+        return mode
     if k == 3 and w % b == 0:
         return "1d"
     return None

@@ -133,3 +133,32 @@ def test_pad_to_match_asymmetric():
     # dy=1 -> pad (0, 1): first row kept, last row zero
     assert float(out[0, 0, 0, 0]) == 1.0
     assert float(out[0, -1, 0, 0]) == 0.0
+
+
+def test_max_pool_2x2_custom_vjp():
+    """Fast pool == nn.max_pool forward; grads match when maxima are unique;
+    ties split evenly (sum-preserving); odd trailing row/col gets zero grad."""
+    import jax
+    from flax import linen as nn
+    from fcdgan_tpu.models.layers import max_pool_2x2
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.permutation(7 * 6 * 2).reshape(1, 7, 6, 2).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(max_pool_2x2(x)),
+        np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))),
+    )
+
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, 2)).astype(np.float32))
+    g_fast = jax.grad(lambda t: (max_pool_2x2(t) * w).sum())(x)
+    g_ref = jax.grad(lambda t: (nn.max_pool(t, (2, 2), strides=(2, 2)) * w).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-6)
+    # odd trailing row (7th) contributes nothing
+    assert float(jnp.abs(g_fast[:, 6]).sum()) == 0.0
+
+    # all-equal window: gradient split 4 ways, sum preserved
+    xt = jnp.zeros((1, 2, 2, 1))
+    gt = jax.grad(lambda t: max_pool_2x2(t).sum() * 2.0)(xt)
+    np.testing.assert_allclose(np.asarray(gt), np.full((1, 2, 2, 1), 0.5))
+    assert float(gt.sum()) == 2.0

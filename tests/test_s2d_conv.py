@@ -60,8 +60,16 @@ def test_conv_s2d_w_grads_match():
 
 
 def test_s2d_mode_dispatch():
-    # measured rules: k>=7 -> 2d, k==3 narrow -> 1d, wide/strided/odd-W -> None
-    assert s2d_mode(220, 220, 9, 3, 64) == "2d"
+    # measured rules: k>=7 -> 1d (round 2: beats 2d — no reorg transposes),
+    # k==3 narrow -> 1d, wide/strided/odd-W -> None
+    assert s2d_mode(220, 220, 9, 3, 64) == "1d"
+    import os
+    os.environ["FCDGAN_S2D_K9"] = "2d"
+    try:
+        assert s2d_mode(220, 220, 9, 3, 64) == "2d"
+        assert s2d_mode(221, 220, 9, 3, 64) == "1d"  # odd H: 2d impossible
+    finally:
+        del os.environ["FCDGAN_S2D_K9"]
     assert s2d_mode(220, 220, 3, 64, 64) == "1d"
     assert s2d_mode(221, 220, 3, 64, 64) == "1d"   # odd H fine for 1-D
     assert s2d_mode(220, 221, 3, 64, 64) is None   # odd W blocks both
