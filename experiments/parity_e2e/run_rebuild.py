@@ -14,19 +14,25 @@ _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, _REPO)
 
 
-def run(scene_dir: str, eg: int, es: int, ej: int, platform=None, seed: int = 0) -> dict:
+def run(scene_dir: str, eg: int, es: int, ej: int, platform=None, seed: int = 0,
+        mode: str = "production") -> dict:
+    """mode='production': bf16 mixed precision + joint-stats siamese BN (the
+    TPU-default configuration). mode='parity': f32 + per-branch BN statistics
+    — numerics closest to the torch reference."""
     import contextlib
     import io
 
     from fcdgan_tpu.config import USSSConfig
     from fcdgan_tpu.demos import demo_usss
 
-    outdir = os.path.join(scene_dir, "rebuild_out")
+    outdir = os.path.join(scene_dir, f"rebuild_out_{mode}")
+    parity = mode == "parity" or platform == "cpu"
     cfg = USSSConfig(
         dir=scene_dir, outdir=outdir, ext="_parity",
         init_num_epochs_g=eg, init_num_epochs_s=es, num_epochs=ej,
         platform=platform, seed=seed, log_tensorboard=False,
-        compute_dtype="float32" if platform == "cpu" else "bfloat16",
+        compute_dtype="float32" if parity else "bfloat16",
+        siamese_stats="split" if parity else "joint",
     )
     buf = io.StringIO()
 
@@ -76,7 +82,10 @@ if __name__ == "__main__":
     platform = None
     if "--platform" in sys.argv:
         platform = sys.argv[sys.argv.index("--platform") + 1]
-    r = run(scene, eg, es, ej, platform)
+    mode = "production"
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+    r = run(scene, eg, es, ej, platform, mode=mode)
     print(json.dumps(r["final"]))
     if out_json:
         with open(out_json, "w") as f:
