@@ -97,13 +97,23 @@ def vgg16_features(
     li = 0
     seq = 0
     h = x if dtype is None else x.astype(dtype)
+    from .layers import max_pool_2x2
+
+    fastpool = os.environ.get("FCDGAN_NO_FASTPOOL") != "1"
     for c in _CFG:
         if c == "M":
             if seq > deepest:
                 break
-            h = jax.lax.reduce_window(
-                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            if fastpool:
+                # equality-mask VJP instead of select_and_scatter (same
+                # rationale/semantics note as models/layers.max_pool_2x2;
+                # the joint-step trace showed the VGG pools' bwd as the
+                # remaining select_and_scatter cost)
+                h = max_pool_2x2(h)
+            else:
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                )
             seq += 1
         else:
             if seq > deepest:
