@@ -239,11 +239,17 @@ def _up2(t):
 @jax.custom_vjp
 def max_pool_2x2(x):
     """2x2/2 max pool whose backward is an equality mask instead of XLA's
-    select-and-scatter (measured 5.4 ms/step of select_and_scatter in the
-    joint-step trace; the mask form is a handful of fused elementwise ops).
-    Gradient ties (equal maxima in a window, e.g. ReLU zeros) are split
-    evenly — sum-preserving, vs select-and-scatter routing to one arbitrary
-    winner. FCDGAN_NO_FASTPOOL=1 restores nn.max_pool."""
+    select-and-scatter. Gradient ties (equal maxima in a window, e.g. ReLU
+    zeros) are split evenly — sum-preserving, vs select-and-scatter routing
+    to one arbitrary winner.
+
+    OFF by default (opt in with FCDGAN_FASTPOOL=1): when first measured it
+    saved 5.4 ms/step of select_and_scatter, but after the slice-built s2d
+    kernels and stacked-VGG changes the balance flipped — the joint-step A/B
+    (2 reps each, quiet host) reads 3.38 Mpx/s with XLA's select_and_scatter
+    everywhere vs 3.27 (segmentor-only mask pool) and 3.20 (mask pool also in
+    the VGG trunk). Negative result kept for the record; re-measure after any
+    major layout change."""
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -280,10 +286,10 @@ class Down(nn.Module):
     def __call__(self, x, train: bool):
         import os
 
-        if os.environ.get("FCDGAN_NO_FASTPOOL") == "1":
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        else:
+        if os.environ.get("FCDGAN_FASTPOOL") == "1":
             x = max_pool_2x2(x)
+        else:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConv(self.features, axis_name=self.axis_name, dtype=self.dtype)(x, train)
 
 

@@ -99,16 +99,14 @@ def vgg16_features(
     h = x if dtype is None else x.astype(dtype)
     from .layers import max_pool_2x2
 
-    fastpool = os.environ.get("FCDGAN_NO_FASTPOOL") != "1"
+    fastpool = os.environ.get("FCDGAN_FASTPOOL") == "1"
     for c in _CFG:
         if c == "M":
             if seq > deepest:
                 break
             if fastpool:
-                # equality-mask VJP instead of select_and_scatter (same
-                # rationale/semantics note as models/layers.max_pool_2x2;
-                # the joint-step trace showed the VGG pools' bwd as the
-                # remaining select_and_scatter cost)
+                # opt-in equality-mask VJP (see models/layers.max_pool_2x2:
+                # measured SLOWER than XLA's select_and_scatter here)
                 h = max_pool_2x2(h)
             else:
                 h = jax.lax.reduce_window(

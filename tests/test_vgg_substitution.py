@@ -96,12 +96,12 @@ def test_vgg_fastpool_matches_reduce_window():
     def total(x):
         return sum(jnp.sum(f) for f in vgg16_features(x, p, taps))
 
-    v1, g1 = jax.value_and_grad(total)(x)
-    os.environ["FCDGAN_NO_FASTPOOL"] = "1"
+    v1, g1 = jax.value_and_grad(total)(x)  # default: reduce_window
+    os.environ["FCDGAN_FASTPOOL"] = "1"
     try:
         v2, g2 = jax.value_and_grad(total)(x)
     finally:
-        del os.environ["FCDGAN_NO_FASTPOOL"]
+        del os.environ["FCDGAN_FASTPOOL"]
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
     # gradient: identical except at exact ties, where the mask form splits
     # evenly (sum-preserving) and select_and_scatter picks one winner
