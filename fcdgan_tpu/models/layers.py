@@ -63,11 +63,54 @@ class _S2dConv(nn.Module):
         return y + bias.astype(dtype)
 
 
+class _SplitConcatConv(nn.Module):
+    """Conv over an implicit channel concatenation, without materializing it.
+
+    conv(concat(xs, -1), W) == sum_i conv(x_i, W[:, :, off_i:off_i+c_i]) —
+    exact by linearity. The parameter tree (kernel over the FULL channel
+    count + bias) is identical to nn.Conv on the concatenated input, so
+    checkpoints/goldens interop. Measured on v5e at the Segmentor decoder
+    shapes: the concatenated conv runs at 32-53 TF/s, the split form at
+    43-68 TF/s (experiments/concat_split_bench.py) — the concat
+    materialization is pure HBM churn."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Any = None
+    bias_init: Any = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs):
+        k = self.kernel_size[0]
+        chans = [x.shape[-1] for x in xs]
+        c_in = sum(chans)
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, c_in, self.features), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        dtype = self.dtype or xs[0].dtype
+        kd = kernel.astype(dtype)
+        pad = [((k - 1) // 2, (k - 1) // 2)] * 2
+        y = None
+        off = 0
+        for x, c in zip(xs, chans):
+            part = jax.lax.conv_general_dilated(
+                x.astype(dtype), kd[:, :, off : off + c, :], (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = part if y is None else y + part
+            off += c
+        return y + bias.astype(dtype)
+
+
 class TorchConv(nn.Module):
     """nn.Conv with torch-default kernel/bias initialization.
 
     Large narrow stride-1 kernels route through the exact space-to-depth
-    conv (identical parameter tree, see ops/s2d_conv.use_s2d)."""
+    conv (identical parameter tree, see ops/s2d_conv.use_s2d). A tuple/list
+    input routes through :class:`_SplitConcatConv` (conv over an implicit
+    concat; FCDGAN_NO_SPLITCAT=1 concatenates up front instead)."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -79,6 +122,33 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
+        if isinstance(x, (tuple, list)):
+            k = self.kernel_size[0]
+            splittable = (
+                len(x) > 1
+                and os.environ.get("FCDGAN_NO_SPLITCAT") != "1"
+                and self.use_bias
+                and self.strides in (1, (1, 1))
+                and self.kernel_size[0] == self.kernel_size[1]
+                and self.padding in ("SAME", (k - 1) // 2)
+            )
+            if not splittable:
+                x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
+            else:
+                c_in = sum(t.shape[-1] for t in x)
+                fan_in = c_in * int(np.prod(self.kernel_size))
+                bound = 1.0 / np.sqrt(fan_in)
+
+                def bias_init(key, shape, dtype=jnp.float32):
+                    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+                return _SplitConcatConv(
+                    self.features, self.kernel_size, name="Conv_0",
+                    kernel_init=torch_kernel_init(), bias_init=bias_init,
+                    dtype=self.dtype,
+                )(x)
         c_in = x.shape[-1] // 2 if self.s2d_w_input else x.shape[-1]
         fan_in = c_in * int(np.prod(self.kernel_size))
         bound = 1.0 / np.sqrt(fan_in)
@@ -211,7 +281,10 @@ class PReLU(nn.Module):
 
 
 class DoubleConv(nn.Module):
-    """(Conv3x3 -> BN -> ReLU) x2 (parity: Module.py:18-35)."""
+    """(Conv3x3 -> BN -> ReLU) x2 (parity: Module.py:18-35).
+
+    ``x`` may be a tuple of tensors = an implicit channel concatenation;
+    the first conv then runs split-by-input (see _SplitConcatConv)."""
 
     features: int
     mid_features: Optional[int] = None
@@ -336,7 +409,11 @@ def pad_to_match(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
 
 
 class Up(nn.Module):
-    """Upscale x1, pad to x2's size, concat [x2, x1], DoubleConv (Module.py:52-79)."""
+    """Upscale x1, pad to x2's size, concat [x2, x1], DoubleConv (Module.py:52-79).
+
+    ``x2`` (the skip) may be a tuple of tensors standing for their channel
+    concatenation (the siamese per-level pair); the concat is then never
+    materialized — the first DoubleConv conv splits over [*x2, x1]."""
 
     features: int
     bilinear: bool = False
@@ -345,13 +422,15 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, train: bool):
+        x2s = x2 if isinstance(x2, (tuple, list)) else (x2,)
+        c2 = sum(t.shape[-1] for t in x2s)
         if self.bilinear:
             x1 = upsample_bilinear_align_corners(
                 x1, (x1.shape[1] * 2, x1.shape[2] * 2)
             )
             conv = DoubleConv(
                 self.features,
-                mid_features=(x1.shape[-1] + x2.shape[-1]) // 2,
+                mid_features=(x1.shape[-1] + c2) // 2,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
             )
@@ -364,9 +443,8 @@ class Up(nn.Module):
                 dtype=self.dtype,
             )(x1)
             conv = DoubleConv(self.features, axis_name=self.axis_name, dtype=self.dtype)
-        x1 = pad_to_match(x1, x2)
-        x = jnp.concatenate([x2, x1], axis=-1)
-        return conv(x, train)
+        x1 = pad_to_match(x1, x2s[0])
+        return conv((*x2s, x1), train)
 
 
 class OutConv(nn.Module):

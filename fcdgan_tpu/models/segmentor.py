@@ -48,10 +48,14 @@ class Segmentor(nn.Module):
             f3 = down2(f2, train)
             f4 = down3(f3, train)
             f5 = down4(f4, train)
-            # split each stacked level back into the two branches and concat
-            # on channels (parity with torch.cat at Module.py:116-132)
-            cat = lambda f: jnp.concatenate([f[:n], f[n:]], axis=-1)
-            x_1, x_2, x_3, x_4, x_5 = cat(f1), cat(f2), cat(f3), cat(f4), cat(f5)
+            # split each stacked level back into the two branches; the
+            # per-level channel concat (torch.cat at Module.py:116-132) is
+            # IMPLICIT — skips stay tuples and the decoder's first conv
+            # splits over them (layers._SplitConcatConv), so the wide
+            # concatenated tensors are never materialized
+            pair = lambda f: (f[:n], f[n:])
+            x_1, x_2, x_3, x_4 = pair(f1), pair(f2), pair(f3), pair(f4)
+            x_5 = jnp.concatenate([f5[:n], f5[n:]], axis=-1)  # feeds upsample
         else:
             a1 = inc(x1, train)
             b1 = inc(x2, train)
@@ -59,10 +63,8 @@ class Segmentor(nn.Module):
             a3, b3 = down2(a2, train), down2(b2, train)
             a4, b4 = down3(a3, train), down3(b3, train)
             a5, b5 = down4(a4, train), down4(b4, train)
-            cat2 = lambda a, b: jnp.concatenate([a, b], axis=-1)
-            x_1, x_2, x_3, x_4, x_5 = (
-                cat2(a1, b1), cat2(a2, b2), cat2(a3, b3), cat2(a4, b4), cat2(a5, b5)
-            )
+            x_1, x_2, x_3, x_4 = (a1, b1), (a2, b2), (a3, b3), (a4, b4)
+            x_5 = jnp.concatenate([a5, b5], axis=-1)
 
         x = Up(1024 // factor, self.bilinear, **kw)(x_5, x_4, train)
         x = Up(512 // factor, self.bilinear, **kw)(x, x_3, train)
