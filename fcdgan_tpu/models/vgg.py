@@ -98,12 +98,28 @@ def vgg16_features(
     seq = 0
     h = x if dtype is None else x.astype(dtype)
     from .layers import max_pool_2x2
+    from ..ops.s2d_conv import (
+        depth_to_space_w, s2d_mode, s2d_w_kernel, space_to_depth_w,
+    )
 
     fastpool = os.environ.get("FCDGAN_FASTPOOL") == "1"
+    # OPT-IN (FCDGAN_VGG_S2D=1): run the 64-channel block-1 convs in the
+    # W-axis space-to-depth layout (exact rewrite, ops/s2d_conv — the same
+    # transform that wins 2x in the generator trunk). Measured NET-NEGATIVE
+    # here: joint step 3.45 -> 3.41 Mpx/s (2 reps each, quiet host). The
+    # trace shows the [60,220,220,64] conv fusions lane-starved, but the
+    # transform's 2x FLOP factor + the frozen-VGG bwd (input-grad only, no
+    # dW) tips the balance the other way — unlike the generator, whose bwd
+    # includes dW convs that also gain. Negative result kept for the record.
+    vgg_s2d = os.environ.get("FCDGAN_VGG_S2D") == "1"
+    in_s2d = False
     for c in _CFG:
         if c == "M":
             if seq > deepest:
                 break
+            if in_s2d:
+                h = depth_to_space_w(h, prev_c)
+                in_s2d = False
             if fastpool:
                 # opt-in equality-mask VJP (see models/layers.max_pool_2x2:
                 # measured SLOWER than XLA's select_and_scatter here)
@@ -118,14 +134,28 @@ def vgg16_features(
                 break
             k = jnp.asarray(params[f"conv{li}_kernel"], h.dtype)
             b = jnp.asarray(params[f"conv{li}_bias"], h.dtype)
-            h = jax.lax.conv_general_dilated(
-                h, k, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b
+            if vgg_s2d and not in_s2d and s2d_mode(
+                h.shape[1], h.shape[2], 3, h.shape[-1], c
+            ) == "1d":
+                h = space_to_depth_w(h)
+                in_s2d = True
+            if in_s2d:
+                w2, pad2 = s2d_w_kernel(k, 1)
+                h = jax.lax.conv_general_dilated(
+                    h, w2, (1, 1), [(pad2, pad2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + jnp.tile(b, 2)
+            else:
+                h = jax.lax.conv_general_dilated(
+                    h, k, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + b
             h = jax.nn.relu(h)
+            prev_c = c
             seq += 2
             if seq - 1 in taps:  # relu index
-                out.append((seq - 1, h.astype(jnp.float32)))
+                t = depth_to_space_w(h, c) if in_s2d else h
+                out.append((seq - 1, t.astype(jnp.float32)))
             li += 1
     order = {t: i for i, t in enumerate(tap_indices)}
     out.sort(key=lambda kv: order[kv[0]])

@@ -87,6 +87,26 @@ def test_converted_npz_schema_roundtrip(tmp_path):
         del os.environ["FCDGAN_VGG16_NPZ"]
 
 
+def test_vgg_s2d_block1_exact():
+    """Opt-in W-s2d layout for the block-1 convs is an exact rewrite."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    p = vgg16_random_params(0)
+    taps = (8, 3)
+
+    def total(x):
+        return sum(jnp.sum(f) for f in vgg16_features(x, p, taps))
+
+    v1, g1 = jax.value_and_grad(total)(x)
+    os.environ["FCDGAN_VGG_S2D"] = "1"
+    try:
+        v2, g2 = jax.value_and_grad(total)(x)
+    finally:
+        del os.environ["FCDGAN_VGG_S2D"]
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
 def test_vgg_fastpool_matches_reduce_window():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(size=(1, 36, 36, 3)).astype(np.float32))
