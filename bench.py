@@ -222,6 +222,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     from fcdgan_tpu.models import Generator, Segmentor
     from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
     from fcdgan_tpu.train.optim import adam

@@ -34,6 +34,7 @@ from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, s
 from ..train import schedules
 from ..train.loops import EpochAverages, Progress, accuracy_line
 from ..train.optim import adam, rmsprop
+from ..utils.runtime import enable_compile_cache
 from ..train.state import create_net_state
 from ..train.steps import PerceptionConfig, RSSSSteps
 
@@ -60,6 +61,7 @@ def _scene_scalers(img_dir: str, txt_name: str, patch_size, stats_name: str) -> 
 def run(cfg: RSSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    enable_compile_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     out_dir = os.path.join(cfg.img_dir, "model{}".format(cfg.ext))

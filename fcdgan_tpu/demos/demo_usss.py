@@ -38,6 +38,7 @@ from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, s
 from ..train import schedules
 from ..train.loops import EpochAverages, Progress, accuracy_line
 from ..train.optim import adam
+from ..utils.runtime import enable_compile_cache
 from ..train.state import create_net_state
 from ..train.steps import PerceptionConfig, USSSSteps
 
@@ -45,6 +46,7 @@ from ..train.steps import PerceptionConfig, USSSSteps
 def run(cfg: USSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    enable_compile_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     outdir = cfg.outdir or cfg.dir

@@ -36,6 +36,7 @@ from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, s
 from ..train import schedules
 from ..train.loops import EpochAverages, Progress, accuracy_line
 from ..train.optim import adam, rmsprop
+from ..utils.runtime import enable_compile_cache
 from ..train.state import create_net_state
 from ..train.steps import PerceptionConfig, WSSSSteps
 
@@ -43,6 +44,7 @@ from ..train.steps import PerceptionConfig, WSSSSteps
 def run(cfg: WSSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    enable_compile_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     out_dir = cfg.out_dir or os.path.join(cfg.label_dir, "Detection_WSS{}".format(cfg.ext))

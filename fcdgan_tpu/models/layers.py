@@ -284,7 +284,17 @@ class DoubleConv(nn.Module):
     """(Conv3x3 -> BN -> ReLU) x2 (parity: Module.py:18-35).
 
     ``x`` may be a tuple of tensors = an implicit channel concatenation;
-    the first conv then runs split-by-input (see _SplitConcatConv)."""
+    the first conv then runs split-by-input (see _SplitConcatConv).
+
+    FCDGAN_BLOCK_S2D=1 (opt-in): when both convs are narrow (<=64 channels,
+    the U-Net's first block at full tile resolution) the whole block runs in
+    the W-axis space-to-depth layout: one reshape in, convs + phase-grouped
+    BN + ReLU at 128 lanes / full (8,128) tiles, one reshape out — instead of
+    the per-conv s2d round trips TorchConv would otherwise emit. Exact;
+    identical parameter tree. Measured NEUTRAL on the v5e joint step (3.481
+    without vs 3.469-3.476 with, quiet host) — XLA already folds the per-conv
+    reshapes into the conv fusions, so the saved round trips buy nothing;
+    kept opt-in for re-measurement after future layout changes."""
 
     features: int
     mid_features: Optional[int] = None
@@ -293,13 +303,33 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        import os
+
+        from ..ops.s2d_conv import depth_to_space_w, space_to_depth_w
+
         mid = self.mid_features or self.features
-        x = TorchConv(mid, (3, 3), padding=1, dtype=self.dtype)(x)
-        x = BatchNorm(self.axis_name, self.dtype)(x, train)
+        block_s2d = (
+            not isinstance(x, (tuple, list))
+            and os.environ.get("FCDGAN_NO_S2D") != "1"
+            and os.environ.get("FCDGAN_BLOCK_S2D") == "1"
+            and max(x.shape[-1], mid, self.features) <= 64
+            and x.shape[2] % 2 == 0
+            and min(x.shape[1], x.shape[2]) >= 6
+        )
+        if block_s2d:
+            x = space_to_depth_w(x)
+        phases = 2 if block_s2d else 1
+        x = TorchConv(mid, (3, 3), padding=1, dtype=self.dtype,
+                      s2d_w_input=block_s2d)(x)
+        x = BatchNorm(self.axis_name, self.dtype, w_phases=phases)(x, train)
         x = nn.relu(x)
-        x = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
-        x = BatchNorm(self.axis_name, self.dtype)(x, train)
-        return nn.relu(x)
+        x = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      s2d_w_input=block_s2d)(x)
+        x = BatchNorm(self.axis_name, self.dtype, w_phases=phases)(x, train)
+        x = nn.relu(x)
+        if block_s2d:
+            x = depth_to_space_w(x, self.features)
+        return x
 
 
 def _up2(t):

@@ -103,20 +103,40 @@ def vgg16_features(
     )
 
     fastpool = os.environ.get("FCDGAN_FASTPOOL") == "1"
-    # OPT-IN (FCDGAN_VGG_S2D=1): run the 64-channel block-1 convs in the
+    # OPT-IN (FCDGAN_VGG_S2D=1|2): run the 64-channel block-1 convs in the
     # W-axis space-to-depth layout (exact rewrite, ops/s2d_conv — the same
-    # transform that wins 2x in the generator trunk). Measured NET-NEGATIVE
-    # here: joint step 3.45 -> 3.41 Mpx/s (2 reps each, quiet host). The
-    # trace shows the [60,220,220,64] conv fusions lane-starved, but the
-    # transform's 2x FLOP factor + the frozen-VGG bwd (input-grad only, no
-    # dW) tips the balance the other way — unlike the generator, whose bwd
-    # includes dW convs that also gain. Negative result kept for the record.
-    vgg_s2d = os.environ.get("FCDGAN_VGG_S2D") == "1"
+    # transform that wins 2x in the generator trunk). The device trace shows
+    # the [60,220,220,64] block-1 tensors at 44-54 TF/s: 64 channels half-fill
+    # both the 128 lanes and the (8,128) memory tiles.
+    #   "1": de-reorganize (depth_to_space_w) before each pool. Measured
+    #        NET-NEGATIVE: joint step 3.45 -> 3.41 Mpx/s (2 reps each, quiet
+    #        host) — the transform's 2x FLOP factor + the d2s relayout at
+    #        pool1 eat the tiling win (the frozen-VGG bwd has no dW convs to
+    #        gain, unlike the generator).
+    #   "2": exit the layout THROUGH the pool: in W-s2d the pool's W-axis max
+    #        is an elementwise first-wins select of the two phase channel
+    #        halves (no d2s), then a 2x1 H-window pool lands directly in the
+    #        plain pooled layout. Exact in forward AND backward: first-in-W
+    #        then first-in-H tie routing composes to exactly the row-major
+    #        first-max routing of XLA select_and_scatter / torch max_pool2d.
+    #        Measured +0.9%: joint 3.45 -> 3.48 Mpx/s — THE DEFAULT.
+    vgg_s2d = os.environ.get("FCDGAN_VGG_S2D", "2")
     in_s2d = False
     for c in _CFG:
         if c == "M":
             if seq > deepest:
                 break
+            if in_s2d and vgg_s2d == "2":
+                half = h.shape[-1] // 2
+                a, b2 = h[..., :half], h[..., half:]
+                h = jnp.where(a >= b2, a, b2)  # W-phase max, first-wins VJP
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1),
+                    "VALID",
+                )
+                in_s2d = False
+                seq += 1
+                continue
             if in_s2d:
                 h = depth_to_space_w(h, prev_c)
                 in_s2d = False
@@ -134,7 +154,7 @@ def vgg16_features(
                 break
             k = jnp.asarray(params[f"conv{li}_kernel"], h.dtype)
             b = jnp.asarray(params[f"conv{li}_bias"], h.dtype)
-            if vgg_s2d and not in_s2d and s2d_mode(
+            if vgg_s2d in ("1", "2") and not in_s2d and s2d_mode(
                 h.shape[1], h.shape[2], 3, h.shape[-1], c
             ) == "1d":
                 h = space_to_depth_w(h)

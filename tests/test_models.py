@@ -162,3 +162,45 @@ def test_max_pool_2x2_custom_vjp():
     gt = jax.grad(lambda t: max_pool_2x2(t).sum() * 2.0)(xt)
     np.testing.assert_allclose(np.asarray(gt), np.full((1, 2, 2, 1), 0.5))
     assert float(gt.sum()) == 2.0
+
+
+def test_doubleconv_block_s2d_exact(key):
+    """Opt-in whole-block W-s2d DoubleConv == plain: values, grads, BN stats."""
+    import os
+
+    import jax
+    from fcdgan_tpu.models.layers import DoubleConv
+
+    model = DoubleConv(64)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 3)).astype(np.float32))
+
+    os.environ["FCDGAN_BLOCK_S2D"] = "1"
+    try:
+        vs = jax.jit(lambda k: model.init({"params": k}, x, train=False))(key)
+        y_s2d, muts_s2d = model.apply(vs, x, train=True, mutable=["batch_stats"])
+        g_s2d = jax.grad(
+            lambda p: (model.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]}, x, train=True,
+                mutable=["batch_stats"])[0] ** 2).sum()
+        )(vs["params"])
+    finally:
+        del os.environ["FCDGAN_BLOCK_S2D"]
+
+    y, muts = model.apply(vs, x, train=True, mutable=["batch_stats"])
+    g = jax.grad(
+        lambda p: (model.apply(
+            {"params": p, "batch_stats": vs["batch_stats"]}, x, train=True,
+            mutable=["batch_stats"])[0] ** 2).sum()
+    )(vs["params"])
+
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(muts_s2d["batch_stats"]),
+                    jax.tree.leaves(muts["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g_s2d), jax.tree.leaves(g)):
+        # f64 check: both paths agree to ~1e-6 relative everywhere; the conv
+        # BIAS grads are exactly zero in exact arithmetic (BN absorbs bias
+        # shifts), so at f32 they are pure cancellation residue ~1e-3 absolute
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1.5e-3)

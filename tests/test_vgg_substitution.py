@@ -87,8 +87,16 @@ def test_converted_npz_schema_roundtrip(tmp_path):
         del os.environ["FCDGAN_VGG16_NPZ"]
 
 
-def test_vgg_s2d_block1_exact():
-    """Opt-in W-s2d layout for the block-1 convs is an exact rewrite."""
+@pytest.mark.parametrize("variant", ["1", "2"])
+def test_vgg_s2d_block1_exact(variant):
+    """W-s2d layouts for the block-1 convs are exact rewrites of variant "0".
+
+    Variant "2" (the default: phase-select pool exit) uses first-in-W then
+    first-in-H tie routing, which composes to select_and_scatter's row-major
+    first-max routing. Gradients are compared on a continuous random input:
+    at EXACT pooling ties, any conv reassociation (including XLA's own) can
+    flip the winner by an ulp, so tied inputs are knife-edge by construction
+    in every variant."""
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
     p = vgg16_random_params(0)
@@ -97,8 +105,12 @@ def test_vgg_s2d_block1_exact():
     def total(x):
         return sum(jnp.sum(f) for f in vgg16_features(x, p, taps))
 
-    v1, g1 = jax.value_and_grad(total)(x)
-    os.environ["FCDGAN_VGG_S2D"] = "1"
+    os.environ["FCDGAN_VGG_S2D"] = "0"
+    try:
+        v1, g1 = jax.value_and_grad(total)(x)
+    finally:
+        del os.environ["FCDGAN_VGG_S2D"]
+    os.environ["FCDGAN_VGG_S2D"] = variant
     try:
         v2, g2 = jax.value_and_grad(total)(x)
     finally:
