@@ -378,6 +378,48 @@ def _mp_bwd(res, dy):
 max_pool_2x2.defvjp(_mp_fwd, _mp_bwd)
 
 
+def max_pool_2x2_wsplit(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool as a W-phase select + 2x1 H-window pool.
+
+    The W-axis reshape (N,H,W,C)->(N,H,W/2,2C) doubles the channel count —
+    full (8,128) tiles and lanes for <=64-channel tensors — and the W-axis
+    max becomes an elementwise first-wins select; only the H axis needs a
+    windowed reduce (half the select_and_scatter work in the backward).
+    Forward-exact vs nn.max_pool; tie routing composes to the same
+    row-major first-max as XLA's 2x2 select_and_scatter.
+
+    OPT-IN (FCDGAN_POOL=wsplit), measured NET-NEGATIVE in the segmentor
+    (joint 3.54 -> 3.46 Mpx/s): on a plain-layout tensor the reshape is a
+    relayout, and the pooled output feeds convs that re-reorganize — the
+    trick only pays inside the VGG trunk where the tensor is ALREADY in
+    W-s2d layout (models/vgg.py FCDGAN_VGG_S2D=2, the default there)."""
+    n, h, w, c = x.shape
+    if w % 2:
+        x = x[:, :, : w - 1, :]
+    xw = x.reshape(n, h, w // 2, 2 * c)
+    a, b = xw[..., :c], xw[..., c:]
+    m = jnp.where(a >= b, a, b)
+    return jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+    )
+
+
+def pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch the 2x2/2 max pool (FCDGAN_POOL=wsplit|mask|xla; default
+    xla select_and_scatter — both alternatives measured net-negative here,
+    see their docstrings)."""
+    import os
+
+    mode = os.environ.get("FCDGAN_POOL")
+    if mode is None and os.environ.get("FCDGAN_FASTPOOL") == "1":
+        mode = "mask"  # back-compat alias
+    if mode == "mask":
+        return max_pool_2x2(x)
+    if mode == "wsplit":
+        return max_pool_2x2_wsplit(x)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
 class Down(nn.Module):
     """MaxPool2 -> DoubleConv (parity: Module.py:38-49)."""
 
@@ -387,12 +429,7 @@ class Down(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        import os
-
-        if os.environ.get("FCDGAN_FASTPOOL") == "1":
-            x = max_pool_2x2(x)
-        else:
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = pool_2x2(x)
         return DoubleConv(self.features, axis_name=self.axis_name, dtype=self.dtype)(x, train)
 
 

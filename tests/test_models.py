@@ -204,3 +204,21 @@ def test_doubleconv_block_s2d_exact(key):
         # shifts), so at f32 they are pure cancellation residue ~1e-3 absolute
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1.5e-3)
+
+
+def test_max_pool_2x2_wsplit_matches_xla():
+    """W-split pool == nn.max_pool: forward exact (incl. odd H/W), grads
+    match on continuous input (first-wins tie routing composes identically)."""
+    import jax
+    from flax import linen as nn
+    from fcdgan_tpu.models.layers import max_pool_2x2_wsplit
+
+    rng = np.random.default_rng(11)
+    for shape in [(2, 8, 8, 3), (1, 7, 6, 5), (1, 6, 7, 2), (3, 9, 9, 64)]:
+        x = jnp.asarray(rng.permutation(np.prod(shape)).reshape(shape).astype(np.float32))
+        ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+        np.testing.assert_allclose(np.asarray(max_pool_2x2_wsplit(x)), np.asarray(ref))
+        w = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+        g1 = jax.grad(lambda t: (max_pool_2x2_wsplit(t) * w).sum())(x)
+        g2 = jax.grad(lambda t: (nn.max_pool(t, (2, 2), strides=(2, 2)) * w).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
