@@ -285,6 +285,105 @@ class NativeOSCDBatchLoader(BatchLoader):
                         region=regions, weight=weight)
 
 
+class _WHUNativeReader:
+    """Native threaded slice-file reads for a WHUDataset: whole-image x/y
+    batches with fused per-band normalization, refs binarized host-side
+    (they are a fraction of the bytes). Supports ``scale=None`` or a
+    Normalize; sync transforms (erasers) stay on the Python path."""
+
+    def __init__(self, ds, n_threads: Optional[int] = None):
+        from .. import native
+        from .normalize import Normalize
+
+        if not native.native_available():
+            raise RuntimeError(f"native tileio unavailable: {native.build_error()}")
+        if ds.transforms is not None:
+            raise ValueError("native loader does not support sync transforms")
+        self.mean_x = self.std_x = self.mean_y = self.std_y = None
+        if ds.scale is not None:
+            if not isinstance(ds.scale, Normalize):
+                raise ValueError("native loader supports Normalize scale only")
+            self.mean_x, self.std_x = ds.scale.meansX, ds.scale.stdX
+            self.mean_y, self.std_y = ds.scale.meansY, ds.scale.stdY
+        self._native = native
+        self.ds = ds
+        probe = native.NativeRaster(ds.img_path_x[0])
+        self.h, self.w, self.nband = probe.ysize, probe.xsize, probe.nband
+        probe.close()
+        # label columns 1..3 as ints; column 3 == 1 marks a changed slice
+        self.labels = np.asarray(
+            [[int(v) for v in li[1:4]] for li in ds.label_list], np.int32)
+        self.n_threads = n_threads
+
+    def batch(self, idx) -> Dict:
+        ds = self.ds
+        x = self._native.read_files_f32(
+            [ds.img_path_x[int(i)] for i in idx], self.h, self.w, self.nband,
+            mean=self.mean_x, std=self.std_x, n_threads=self.n_threads)
+        y = self._native.read_files_f32(
+            [ds.img_path_y[int(i)] for i in idx], self.h, self.w, self.nband,
+            mean=self.mean_y, std=self.std_y, n_threads=self.n_threads)
+        ref = np.zeros((len(idx), self.h, self.w, 1), np.float32)
+        changed = [(pos, int(i)) for pos, i in enumerate(idx)
+                   if self.labels[int(i), 2] == 1]
+        if changed:
+            r = self._native.read_files_f32(
+                [ds.ref_path[i] for _, i in changed], self.h, self.w, 1,
+                n_threads=self.n_threads)
+            for k, (pos, _) in enumerate(changed):
+                ref[pos] = (r[k] > 0).astype(np.float32)
+        label = self.labels[np.asarray(idx, np.int64)]
+        return dict(x=x, y=y, ref=ref, label=label)
+
+
+class NativeWHUBatchLoader(BatchLoader):
+    """BatchLoader over a WHUDataset with native threaded slice reads —
+    identical (x, y, ref, item, label) batches to the Python loader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, n_threads: Optional[int] = None, **kw):
+        self._reader = _WHUNativeReader(dataset, n_threads)
+        super().__init__(dataset, batch_size,
+                         fields=("x", "y", "ref", "item", "label"),
+                         shuffle=shuffle, seed=seed, **kw)
+
+    def __iter__(self) -> Iterator[Batch]:
+        for idx, weight in self._index_batches():
+            b = self._reader.batch(idx)
+            yield Batch(item=np.asarray(idx, np.int64), weight=weight, **b)
+
+
+class NativeWHUPairBatchLoader(BatchLoader):
+    """PairBatchLoader equivalent over a WHUPairDataset (changed/unchanged
+    per-epoch pairing) with native threaded slice reads. Requires the
+    deterministic ``random_assign=False`` pairing (the demo default) so the
+    pair indices are table lookups rather than per-access RNG draws."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, n_threads: Optional[int] = None, **kw):
+        if dataset.random_assign:
+            raise ValueError("native pair loader requires random_assign=False")
+        self._pair = dataset
+        self._c = _WHUNativeReader(dataset.c_ds, n_threads)
+        self._nc = _WHUNativeReader(dataset.nc_ds, n_threads)
+        super().__init__(dataset, batch_size,
+                         fields=tuple(f"c_{f}" for f in ("x", "y", "ref", "item", "label"))
+                         + tuple(f"nc_{f}" for f in ("x", "y", "ref", "item", "label")),
+                         shuffle=shuffle, seed=seed, **kw)
+
+    def __iter__(self) -> Iterator[Batch]:
+        for idx, weight in self._index_batches():
+            idx_c = [self._pair.c_order[int(i)] for i in idx]
+            idx_nc = [self._pair.nc_order[int(i)] for i in idx]
+            bc = self._c.batch(idx_c)
+            bnc = self._nc.batch(idx_nc)
+            yield Batch(weight=weight,
+                        **{f"c_{k}": v for k, v in bc.items()},
+                        c_item=np.asarray(idx_c, np.int64),
+                        **{f"nc_{k}": v for k, v in bnc.items()},
+                        nc_item=np.asarray(idx_nc, np.int64))
+
+
 def device_put_batch(batch: Dict, sharding=None) -> Dict:
     """Move a host batch to device(s); with a NamedSharding the batch axis is
     split across the data-parallel mesh in a single transfer."""

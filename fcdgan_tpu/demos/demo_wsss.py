@@ -72,14 +72,30 @@ def run(cfg: WSSSConfig) -> Dict:
     total = len(pair_ds)
     fields = ("x", "y", "ref", "item", "label")
     # order_reset() re-pairs changed/unchanged every epoch (Demo_WSSS.py:233)
-    pair_loader = PairBatchLoader(pair_ds, cfg.batch_size, c_fields=fields,
-                                  nc_fields=fields, shuffle=True, seed=cfg.seed,
-                                  epoch_hook=lambda e: pair_ds.order_reset())
+    # native C++ threaded slice reads when available (WSSS is feeding-limited
+    # on slow hosts: adversarial step ~21 ms vs ~38 ms/batch PIL assembly);
+    # identical batches through the Python path otherwise
+    try:
+        from ..data.pipeline import NativeWHUPairBatchLoader
+
+        pair_loader = NativeWHUPairBatchLoader(
+            pair_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            epoch_hook=lambda e: pair_ds.order_reset())
+    except Exception:
+        pair_loader = PairBatchLoader(pair_ds, cfg.batch_size, c_fields=fields,
+                                      nc_fields=fields, shuffle=True, seed=cfg.seed,
+                                      epoch_hook=lambda e: pair_ds.order_reset())
     unc_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
                         scale=scaler, label_selected="0", transforms=eraser)
     total_unc = len(unc_ds)
-    unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
-                             shuffle=True, seed=cfg.seed)
+    try:
+        from ..data.pipeline import NativeWHUBatchLoader
+
+        unc_loader = NativeWHUBatchLoader(unc_ds, cfg.unc_batch_size,
+                                          shuffle=True, seed=cfg.seed)
+    except Exception:
+        unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
+                                 shuffle=True, seed=cfg.seed)
 
     mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
 

@@ -69,6 +69,12 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
+        lib.tio_read_files_f32.restype = ctypes.c_int
+        lib.tio_read_files_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         lib.tio_close.argtypes = [ctypes.c_int64]
         _lib = lib
         return _lib
@@ -123,6 +129,37 @@ class NativeRaster:
             self.close()
         except Exception:
             pass
+
+
+def read_files_f32(paths: Sequence[str], height: int, width: int, nband: int,
+                   mean=None, std=None,
+                   n_threads: Optional[int] = None) -> np.ndarray:
+    """Threaded whole-image reads of uniform slice files into one
+    (n, height, width, nband) float32 batch, optionally per-band normalized
+    ((v - mean) / std) — the native WHU slice-image path (reference per-file
+    PIL reads, data_utils.py:449-563)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native tileio unavailable: {_build_error}")
+    n = len(paths)
+    out = np.zeros((n, height, width, nband), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    mean_c = None if mean is None else np.ascontiguousarray(
+        np.asarray(mean, np.float64)[:nband])
+    std_c = None if std is None else np.ascontiguousarray(
+        np.asarray(std, np.float64)[:nband])
+    rc = lib.tio_read_files_f32(
+        arr, n, width, height, nband,
+        (mean_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+         if mean_c is not None else ctypes.POINTER(ctypes.c_double)()),
+        (std_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+         if std_c is not None else ctypes.POINTER(ctypes.c_double)()),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads or min(8, os.cpu_count() or 4))
+    if rc != 0:
+        what = {-2: "open/read failure", -3: "shape mismatch"}.get(rc, rc)
+        raise ValueError(f"native file batch read failed: {what}")
+    return out
 
 
 class NativePairAssembler:

@@ -533,6 +533,24 @@ Raster* get(int64_t h) {
   return it == g_rasters.end() ? nullptr : it->second;
 }
 
+// open a raster by magic sniff (TIFF then ENVI), unregistered
+Raster* open_any(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return nullptr;
+  char magic[4] = {0};
+  f.read(magic, 4);
+  Raster* r = nullptr;
+  if ((magic[0] == 'I' && magic[1] == 'I') || (magic[0] == 'M' && magic[1] == 'M')) {
+    auto* t = new TiffRaster();
+    if (t->open(path)) r = t; else delete t;
+  }
+  if (!r) {
+    auto* e = new EnviRaster();
+    if (e->open(path)) r = e; else delete e;
+  }
+  return r;
+}
+
 // tile-grid math (parity: fcdgan_tpu/data/tile_grid.py / data_utils.py:57-176)
 struct Grid {
   int64_t xsize, ysize, patch_w, patch_h, pad_x, pad_y;
@@ -573,20 +591,7 @@ struct Grid {
 extern "C" {
 
 int64_t tio_open(const char* path) {
-  // sniff TIFF magic, fall back to ENVI
-  std::ifstream f(path, std::ios::binary);
-  if (!f) return 0;
-  char magic[4] = {0};
-  f.read(magic, 4);
-  Raster* r = nullptr;
-  if ((magic[0] == 'I' && magic[1] == 'I') || (magic[0] == 'M' && magic[1] == 'M')) {
-    auto* t = new TiffRaster();
-    if (t->open(path)) r = t; else delete t;
-  }
-  if (!r) {
-    auto* e = new EnviRaster();
-    if (e->open(path)) r = e; else delete e;
-  }
+  Raster* r = open_any(path);
   if (!r) return 0;
   std::lock_guard<std::mutex> lk(g_mu);
   int64_t h = g_next++;
@@ -663,6 +668,48 @@ int tio_assemble_batch(
   for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return err.load() ? -2 : 0;
+}
+
+// Read n whole slice images (each exactly (h, w, nband)) into out
+// (n, h, w, nband) f32, optionally per-band normalized ((v-mean)/std) —
+// the WHU slice-image batch path (PIL per-file reads in the reference,
+// data_utils.py:449-563). Returns 0 ok, -2 open/read failure, -3 shape
+// mismatch.
+int tio_read_files_f32(const char** paths, int64_t n, int64_t w, int64_t h,
+                       int64_t nband, const double* mean, const double* stdd,
+                       float* out, int n_threads) {
+  std::atomic<int64_t> next{0};
+  std::atomic<int> err{0};
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n || err.load()) break;
+      Raster* r = open_any(paths[i]);
+      if (!r) { err.store(-2); break; }
+      float* dst = out + (size_t)i * h * w * nband;
+      if (r->xsize != w || r->ysize != h || r->nband != nband) {
+        delete r;
+        err.store(-3);
+        break;
+      }
+      bool ok = r->read_window(0, 0, w, h, dst);
+      delete r;
+      if (!ok) { err.store(-2); break; }
+      if (mean) {
+        for (int64_t p = 0; p < h * w; ++p)
+          for (int64_t b = 0; b < nband; ++b)
+            dst[p * nband + b] =
+                (float)((dst[p * nband + b] - mean[b]) / stdd[b]);
+      }
+    }
+  };
+
+  int nt = std::max(1, n_threads);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return err.load();
 }
 
 void tio_close(int64_t h) {

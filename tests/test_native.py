@@ -127,3 +127,54 @@ def test_native_predictor_16bit(tmp_path, compression):
     r = native.NativeRaster(p)
     np.testing.assert_array_equal(r.read_block(), arr.astype(np.float32))
     r.close()
+
+
+def _whu(tmp_path, with_scale=True):
+    import random
+
+    from fcdgan_tpu.data.datasets import WHUDataset, WHUPairDataset
+    from fcdgan_tpu.data.synthetic import make_whu_dataset
+
+    d = str(tmp_path / "whu")
+    make_whu_dataset(d, n_changed=5, n_unchanged=7, size=48)
+    import os
+
+    dirs = dict(x=os.path.join(d, "before"), y=os.path.join(d, "after"),
+                ref=os.path.join(d, "Label"), lbl=d)
+    scale = Normalize([10.0, 20.0, 30.0], [2.0, 3.0, 4.0],
+                      [11.0, 21.0, 31.0], [2.5, 3.5, 4.5]) if with_scale else None
+    ds = WHUDataset(dirs["x"], dirs["y"], dirs["ref"], dirs["lbl"], "-1", scale=scale)
+    pair = WHUPairDataset(dirs["x"], dirs["y"], dirs["ref"], dirs["lbl"],
+                          scale=scale, random_assign=False, rng=random.Random(3))
+    return ds, lambda: WHUPairDataset(dirs["x"], dirs["y"], dirs["ref"], dirs["lbl"],
+                                      scale=scale, random_assign=False,
+                                      rng=random.Random(3)), pair
+
+
+def test_native_whu_loader_matches_python(tmp_path):
+    from fcdgan_tpu.data.pipeline import BatchLoader, NativeWHUBatchLoader
+
+    ds, _, _ = _whu(tmp_path)
+    py = list(BatchLoader(ds, 4, fields=("x", "y", "ref", "item", "label"),
+                          shuffle=True, seed=7))
+    nat = list(NativeWHUBatchLoader(ds, 4, shuffle=True, seed=7))
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        for k in ("x", "y", "ref", "item", "label", "weight"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-4, err_msg=k)
+
+
+def test_native_whu_pair_loader_matches_python(tmp_path):
+    from fcdgan_tpu.data.pipeline import NativeWHUPairBatchLoader, PairBatchLoader
+
+    _, mk_pair, _ = _whu(tmp_path)
+    fields = ("x", "y", "ref", "item", "label")
+    py = list(PairBatchLoader(mk_pair(), 3, c_fields=fields, nc_fields=fields,
+                              shuffle=True, seed=5))
+    nat = list(NativeWHUPairBatchLoader(mk_pair(), 3, shuffle=True, seed=5))
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        for k in a.keys():
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-4, err_msg=k)
