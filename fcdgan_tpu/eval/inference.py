@@ -20,25 +20,44 @@ import numpy as np
 from ..data.pipeline import BatchLoader, prefetch
 
 
+_QUANT_CACHE: "weakref.WeakKeyDictionary" = None  # set on first use
+
+
 def quantized_infer(infer_fn: Callable, density_dtype: str = "float32"):
     """Wrap a jitted density forward with a device-side download quantizer.
 
     Returns ``(fn, dequant)``: ``fn`` downloads uint8/bfloat16/float32 per
     ``density_dtype``; ``dequant(device_out) -> float32 ndarray`` restores
-    the density host-side. See ``stitched_inference`` for the error bounds."""
+    the density host-side. See ``stitched_inference`` for the error bounds.
+
+    Wrappers are cached per (infer_fn, dtype): repeat calls reuse the same
+    jitted executable — a fresh ``jax.jit`` each call would silently pay a
+    full recompile on every ``stitched_inference`` invocation."""
     if density_dtype == "float32":
         return infer_fn, lambda a: np.asarray(a, dtype=np.float32)
+    global _QUANT_CACHE
+    import weakref
+
+    if _QUANT_CACHE is None:
+        _QUANT_CACHE = weakref.WeakKeyDictionary()
+    per_fn = _QUANT_CACHE.setdefault(infer_fn, {})
+    if density_dtype in per_fn:
+        return per_fn[density_dtype]
     import jax
     import jax.numpy as jnp
 
     if density_dtype == "uint8":
         fn = jax.jit(lambda *a: (
             jnp.clip(infer_fn(*a), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
-        return fn, lambda a: np.asarray(a).astype(np.float32) / 255.0
-    if density_dtype == "bfloat16":
+        out = fn, lambda a: np.asarray(a).astype(np.float32) / 255.0
+    elif density_dtype == "bfloat16":
         fn = jax.jit(lambda *a: infer_fn(*a).astype(jnp.bfloat16))
-        return fn, lambda a: np.asarray(a).astype(np.float32)
-    raise ValueError(f"density_dtype must be float32/uint8/bfloat16, got {density_dtype}")
+        out = fn, lambda a: np.asarray(a).astype(np.float32)
+    else:
+        raise ValueError(
+            f"density_dtype must be float32/uint8/bfloat16, got {density_dtype}")
+    per_fn[density_dtype] = out
+    return out
 
 
 def stitched_inference(
