@@ -128,9 +128,14 @@ def bench_batch_sweep():
     """Single-chip batch sweep: Mpx/s at bs 10..80 (bounds DP efficiency
     analytically — a v5e-8 running global batch 80 is 8 chips at bs 10)."""
     import jax
+    import jax.numpy as jnp
 
     for bs in (10, 20, 40, 80):
         steps, g, s, d = _setup_usss_step(batch=bs)
+        # device-resident batch: the sweep measures compute scaling, and this
+        # container's relay adds ~35 ms latency per host->device transfer
+        # that would otherwise swamp the signal (main() does the same)
+        d = {k: jnp.asarray(v) for k, v in d.items()}
         try:
             g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
                                   d["weight"], 1e-4, 1e-4)
