@@ -60,6 +60,7 @@ def _setup_usss_step(batch=10, hw=220, nband=3, msssim_weights=None):
                          dtype="bfloat16" if dtype is not None else None),
         perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
         interior_sizes=interior, pad=pad, msssim_weights=msssim_weights,
+        remat=os.environ.get("FCDGAN_REMAT") == "1",
     )
     key = jax.random.PRNGKey(0)
     zx = jnp.zeros((1, hw, hw, nband), jnp.float32)
@@ -130,34 +131,49 @@ def bench_batch_sweep():
     import jax
     import jax.numpy as jnp
 
-    for bs in (10, 20, 40, 80):
+    def measure(bs, suffix=""):
         steps, g, s, d = _setup_usss_step(batch=bs)
         # device-resident batch: the sweep measures compute scaling, and this
         # container's relay adds ~35 ms latency per host->device transfer
         # that would otherwise swamp the signal (main() does the same)
         d = {k: jnp.asarray(v) for k, v in d.items()}
-        try:
+        g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
+                              d["weight"], 1e-4, 1e-4)
+        jax.block_until_ready(m["NetLoss"])
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
             g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
                                   d["weight"], 1e-4, 1e-4)
-            jax.block_until_ready(m["NetLoss"])
-            n = 10
-            t0 = time.perf_counter()
-            for _ in range(n):
-                g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
-                                      d["weight"], 1e-4, 1e-4)
-            jax.block_until_ready(m["NetLoss"])
-            dt = time.perf_counter() - t0
-            print(json.dumps({
-                "metric": f"usss_train_throughput_bs{bs}",
-                "value": round(bs * 220 * 220 * n / dt / 1e6, 3),
-                "unit": "Mpx/s", "vs_baseline": -1.0,
-            }))
+        jax.block_until_ready(m["NetLoss"])
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"usss_train_throughput_bs{bs}{suffix}",
+            "value": round(bs * 220 * 220 * n / dt / 1e6, 3),
+            "unit": "Mpx/s", "vs_baseline": -1.0,
+        }))
+
+    for bs in (10, 20, 40, 80):
+        try:
+            measure(bs)
         except Exception as e:  # OOM at large bs is a finding, not a crash
             print(json.dumps({
                 "metric": f"usss_train_throughput_bs{bs}",
                 "value": -1.0, "unit": "Mpx/s", "vs_baseline": -1.0,
                 "error": type(e).__name__,
             }))
+            # retry past the HBM ceiling with gradient rematerialization
+            os.environ["FCDGAN_REMAT"] = "1"
+            try:
+                measure(bs, suffix="_remat")
+            except Exception as e2:
+                print(json.dumps({
+                    "metric": f"usss_train_throughput_bs{bs}_remat",
+                    "value": -1.0, "unit": "Mpx/s", "vs_baseline": -1.0,
+                    "error": type(e2).__name__,
+                }))
+            finally:
+                del os.environ["FCDGAN_REMAT"]
 
 
 def bench_scaling():

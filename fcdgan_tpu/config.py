@@ -53,6 +53,7 @@ class USSSConfig:
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
+    remat: bool = False             # recompute forwards in backward (bigger batches)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
@@ -113,6 +114,7 @@ class WSSSConfig:
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
+    remat: bool = False             # recompute forwards in backward (bigger batches)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
@@ -177,6 +179,7 @@ class RSSSConfig:
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
+    remat: bool = False             # recompute forwards in backward (bigger batches)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0

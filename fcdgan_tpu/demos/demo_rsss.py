@@ -125,6 +125,7 @@ def run(cfg: RSSSConfig) -> Dict:
         cfg.gt_map, cfg.pre_map, cfg.prob_thresh,
         cfg.discriminator_continuous, cfg.msssim_weights,
         test_interior_sizes=test_dataset.interior_sizes(),
+        remat=cfg.remat,
     )
     key = jax.random.PRNGKey(cfg.seed)
     zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)

@@ -119,6 +119,7 @@ class USSSSteps:
         pre_map: Sequence[int] = (0, 1),
         prob_thresh: float = 0.5,
         msssim_weights: Optional[Sequence[float]] = None,
+        remat: bool = False,
     ):
         self.G, self.S = generator, segmentor
         self.tx_g, self.tx_s = tx_g, tx_s
@@ -130,6 +131,20 @@ class USSSSteps:
         self.gt_map, self.pre_map = tuple(gt_map), tuple(pre_map)
         self.prob_thresh = prob_thresh
         self.msw = tuple(msssim_weights) if msssim_weights is not None else None
+
+        # gradient rematerialization: recompute the big forwards (both nets +
+        # the VGG loss stack) in the backward instead of storing activations —
+        # identical math, ~full-forward extra FLOPs, lifts the per-chip batch
+        # HBM ceiling (bs80 at 220px OOMs one v5e without it; bench.py
+        # --batch-sweep). Enable with remat=True / --remat / FCDGAN_REMAT=1.
+        ck = jax.checkpoint if remat else (lambda f: f)
+        self._g_fwd = ck(lambda pg, bs_, x: self.G.apply(
+            {"params": pg, "batch_stats": bs_}, x, train=True,
+            mutable=["batch_stats"]))
+        self._s_fwd = ck(lambda ps, bs_, x, y: self.S.apply(
+            {"params": ps, "batch_stats": bs_}, x, y, train=True,
+            mutable=["batch_stats"]))
+        self._cnet_ck = ck(self._cnet)
 
         # donated states: the caller rebinds on every step, so the old
         # buffers feed the outputs in place (no HBM churn; no-op on CPU)
@@ -157,11 +172,8 @@ class USSSSteps:
         cmap = jnp.zeros(x.shape[:3] + (1,), x.dtype)
 
         def loss_fn(pg):
-            y_fake, muts = self.G.apply(
-                {"params": pg, "batch_stats": gstate.batch_stats},
-                x, train=True, mutable=["batch_stats"],
-            )
-            gen, l1, perc, ssim = self._cnet(y, _f32(y_fake), cmap, w)
+            y_fake, muts = self._g_fwd(pg, gstate.batch_stats, x)
+            gen, l1, perc, ssim = self._cnet_ck(y, _f32(y_fake), cmap, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, l1, perc, ssim)
 
@@ -183,12 +195,9 @@ class USSSSteps:
         y_fake = jax.lax.stop_gradient(_f32(y_fake))
 
         def loss_fn(ps):
-            cmap, muts = self.S.apply(
-                {"params": ps, "batch_stats": sstate.batch_stats},
-                x, y, train=True, mutable=["batch_stats"],
-            )
+            cmap, muts = self._s_fwd(ps, sstate.batch_stats, x, y)
             cmap = _f32(cmap)
-            gen, l1, perc, ssim = self._cnet(y, y_fake, cmap, w)
+            gen, l1, perc, ssim = self._cnet_ck(y, y_fake, cmap, w)
             loss = gen + self.l1w * l1 + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, l1, perc, ssim, cmap)
 
@@ -206,16 +215,10 @@ class USSSSteps:
     # -- phase 3: joint alternating with G-grad accumulation (:289-400) -----
     def _joint(self, gstate: NetState, sstate: NetState, x, y, ref, item, w, lr_g, lr_s):
         def fwd(pg, ps):
-            y_fake, g_muts = self.G.apply(
-                {"params": pg, "batch_stats": gstate.batch_stats},
-                x, train=True, mutable=["batch_stats"],
-            )
-            cmap, s_muts = self.S.apply(
-                {"params": ps, "batch_stats": sstate.batch_stats},
-                x, y, train=True, mutable=["batch_stats"],
-            )
+            y_fake, g_muts = self._g_fwd(pg, gstate.batch_stats, x)
+            cmap, s_muts = self._s_fwd(ps, sstate.batch_stats, x, y)
             y_fake, cmap = _f32(y_fake), _f32(cmap)
-            gen, l1, perc, ssim = self._cnet(y, y_fake, cmap, w)
+            gen, l1, perc, ssim = self._cnet_ck(y, y_fake, cmap, w)
             a = gen + self.pw * perc + self.sw * ssim  # == LossG
             aux = (g_muts["batch_stats"], s_muts["batch_stats"], gen, l1, perc, ssim, cmap)
             return (a, l1), aux
@@ -268,6 +271,7 @@ class WSSSSteps:
         prob_thresh: float = 0.6,
         discriminator_continuous: bool = True,
         msssim_weights: Optional[Sequence[float]] = None,
+        remat: bool = False,
     ):
         self.G, self.S, self.D = generator, segmentor, discriminator
         self.tx_g, self.tx_s, self.tx_d = tx_g, tx_s, tx_d
@@ -278,6 +282,12 @@ class WSSSSteps:
         self.prob_thresh = prob_thresh
         self.continuous = discriminator_continuous
         self.msw = tuple(msssim_weights) if msssim_weights is not None else None
+        # see USSSSteps.__init__: recompute-in-backward for the big forwards
+        ck = jax.checkpoint if remat else (lambda f: f)
+        self._g_fwd = ck(lambda pg, bs_, x: self.G.apply(
+            {"params": pg, "batch_stats": bs_}, x, train=True,
+            mutable=["batch_stats"]))
+        self._cgen_ck = ck(self._cgen)
 
         self.g_pretrain = jax.jit(self._g_pretrain, donate_argnums=(0,))
         self.adversarial = jax.jit(self._adversarial, donate_argnums=(0, 1))
@@ -297,11 +307,8 @@ class WSSSSteps:
         cmap = jnp.zeros(x.shape[:3] + (1,), x.dtype)
 
         def loss_fn(pg):
-            y_fake, muts = self.G.apply(
-                {"params": pg, "batch_stats": gstate.batch_stats},
-                x, train=True, mutable=["batch_stats"],
-            )
-            gen, ssim, perc = self._cgen(y, _f32(y_fake), cmap, w)
+            y_fake, muts = self._g_fwd(pg, gstate.batch_stats, x)
+            gen, ssim, perc = self._cgen_ck(y, _f32(y_fake), cmap, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, ssim, perc)
 
@@ -383,7 +390,7 @@ class WSSSSteps:
             c_out = _f32(c_out)
             nc_loss = _wmean(jnp.mean(ncmap_s**2, axis=(1, 2, 3)), w)
             if y_fake is not None:
-                gen, ssim, perc = self._cgen(c_y, y_fake, cmap_s, w)
+                gen, ssim, perc = self._cgen_ck(c_y, y_fake, cmap_s, w)
             else:
                 gen = ssim = perc = jnp.zeros((), c_x.dtype)
             g_loss = gen + self.pw * perc + self.sw * ssim
@@ -461,6 +468,7 @@ class RSSSSteps:
         discriminator_continuous: bool = True,
         msssim_weights: Optional[Sequence[float]] = None,
         test_interior_sizes: Optional[np.ndarray] = None,
+        remat: bool = False,
     ):
         self.G, self.S, self.D = generator, segmentor, discriminator
         self.tx_g, self.tx_s, self.tx_d = tx_g, tx_s, tx_d
@@ -468,6 +476,12 @@ class RSSSSteps:
         self.pc = perception
         self.pw, self.sw = perception_weight, ssim_weight
         self.gw, self.l1w, self.dw, self.rw = g_weight, l1_weight, d_weight, r_weight
+        # see USSSSteps.__init__: recompute-in-backward for the big forwards
+        ck = jax.checkpoint if remat else (lambda f: f)
+        self._g_fwd = ck(lambda pg, bs_, x_: self.G.apply(
+            {"params": pg, "batch_stats": bs_}, x_, train=True,
+            mutable=["batch_stats"]))
+        self._cgen_ck = ck(self._cgen)
         self.interior = jnp.asarray(interior_sizes, jnp.int32)
         self.test_interior = (
             jnp.asarray(test_interior_sizes, jnp.int32)
@@ -495,11 +509,8 @@ class RSSSSteps:
     # -- G pretrain with the REGION raster as mask (Demo_RSSS.py:200-205) ---
     def _g_pretrain(self, gstate: NetState, x, y, region, w, lr):
         def loss_fn(pg):
-            y_fake, muts = self.G.apply(
-                {"params": pg, "batch_stats": gstate.batch_stats},
-                x, train=True, mutable=["batch_stats"],
-            )
-            gen, ssim, perc = self._cgen(y, _f32(y_fake), region, w)
+            y_fake, muts = self._g_fwd(pg, gstate.batch_stats, x)
+            gen, ssim, perc = self._cgen_ck(y, _f32(y_fake), region, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, ssim, perc)
 
@@ -566,7 +577,7 @@ class RSSSSteps:
                 {"params": jax.lax.stop_gradient(pd), "batch_stats": d_bs2},
                 xm, ym, train=True, mutable=["batch_stats"],
             )
-            gen, ssim, perc = self._cgen(y, y_fake, cmap_s, w)
+            gen, ssim, perc = self._cgen_ck(y, y_fake, cmap_s, w)
             g_loss = gen + self.pw * perc + self.sw * ssim
             l1_loss = L.region_loss(cmap_s, region, "l1", sample_weight=w)
             r_loss = L.region_loss(cmap_s, 1 - region, "mse", sample_weight=w)

@@ -410,3 +410,44 @@ def test_wsss_adversarial_dp_smoke(vggp, batch):
         db["weight"], 1e-4, 1e-5)
     assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["s_loss"]))
     assert np.asarray(m["confusion"]).shape == (2, 2)
+
+
+@pytest.mark.slow
+def test_usss_joint_remat_equivalent(usss, usss_states, batch, vggp):
+    """remat=True recomputes forwards in the backward — identical math.
+
+    Compared with unit-LR SGD so parameter deltas scale with the actual
+    gradient difference: Adam would normalize the zero-gradient conv-bias
+    leaves' float noise to +-lr, making the comparison ill-posed."""
+    import optax
+
+    sgd = lambda: optax.chain(optax.scale(-1.0))
+    interior = np.array([[HW - 8, HW - 8]] * 4, np.int32)
+
+    def mk(remat):
+        return USSSSteps(
+            usss.G, usss.S, sgd(), sgd(), vggp,
+            PerceptionConfig(select_feature_layers(1), per_band=True),
+            perception_weight=0.4, l1_weight=0.65, ssim_weight=0.0,
+            interior_sizes=interior, pad=(4, 4), msssim_weights=MSW,
+            remat=remat,
+        )
+
+    outs = []
+    for steps in (mk(False), mk(True)):
+        k = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, HW, HW, 3))
+        g = create_net_state(steps.G, k, (x,), sgd())
+        s = create_net_state(steps.S, jax.random.fold_in(k, 1), (x, x), sgd())
+        g, s, m = steps.joint(g, s, batch["x"], batch["y"], batch["ref"],
+                              batch["item"], batch["w"], 1e-3, 1e-3)
+        outs.append((g, s, m))
+    (g0, s0, m0), (g1, s1, m1) = outs
+    np.testing.assert_allclose(float(m0["NetLoss"]), float(m1["NetLoss"]), rtol=1e-6)
+    # the recompute path fuses/reassociates differently at f32: ~1e-6 noise
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0.params), jax.tree.leaves(g1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.batch_stats), jax.tree.leaves(s1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
