@@ -17,7 +17,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, TorchConv
+from .layers import BatchNorm, TorchConv, bn_fold_enabled
 
 
 class Discriminator(nn.Module):
@@ -33,9 +33,12 @@ class Discriminator(nn.Module):
 
             def block(feat, bn):
                 def fn(h, train):
-                    h = TorchConv(feat, (3, 3), strides=2, padding=1, dtype=self.dtype)(h)
+                    fold = bn and bn_fold_enabled()
+                    h = TorchConv(feat, (3, 3), strides=2, padding=1,
+                                  dtype=self.dtype, defer_bias=fold)(h)
                     if bn:
-                        h = BatchNorm(self.axis_name, self.dtype)(h, train)
+                        h, fb = h if fold else (h, None)
+                        h = BatchNorm(self.axis_name, self.dtype)(h, train, fb)
                     return nn.leaky_relu(h, 0.2)
 
                 return fn

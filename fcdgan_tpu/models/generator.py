@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, PReLU, ResidualBlock, TorchConv
+from .layers import BatchNorm, PReLU, ResidualBlock, TorchConv, bn_fold_enabled
 
 
 class Generator(nn.Module):
@@ -38,10 +38,12 @@ class Generator(nn.Module):
         h = space_to_depth_w(stem) if s2d_trunk else stem
         for _ in range(5):
             h = ResidualBlock(64, s2d_w=s2d_trunk, **kw)(h, train)
+        fold = bn_fold_enabled()
         h = TorchConv(64, (3, 3), padding=1, dtype=self.dtype,
-                      s2d_w_input=s2d_trunk)(h)
+                      s2d_w_input=s2d_trunk, defer_bias=fold)(h)
+        h, fb = h if fold else (h, None)
         h = BatchNorm(self.axis_name, self.dtype,
-                      w_phases=2 if s2d_trunk else 1)(h, train)
+                      w_phases=2 if s2d_trunk else 1)(h, train, fb)
         if s2d_trunk:
             h = depth_to_space_w(h, 64)
         return TorchConv(self.n_channels, (9, 9), padding=4, dtype=self.dtype)(stem + h)

@@ -43,6 +43,53 @@ for _c in _CFG:
 FEATURE_LAYER_LIST: Tuple[int, ...] = (29, 22, 15, 8, 3)
 
 
+@jax.custom_vjp
+def _phase_pool_exit(h: jnp.ndarray) -> jnp.ndarray:
+    """W-s2d pool exit: W-phase first-wins select + 2x1 H max pool.
+
+    Forward-identical to the inline where+reduce_window it replaces; the
+    custom VJP saves only ``h`` and RECOMPUTES both select masks in the
+    backward. XLA's default VJP stores the phase predicate (~93 MB at the
+    block-1 shape) and runs a select_and_scatter for the H pool — together
+    ~6 ms of the joint step; the recompute form is a pure fused elementwise
+    pass near HBM bandwidth. Tie routing (first-wins on both axes) composes
+    to XLA select_and_scatter's row-major first-max exactly."""
+    c = h.shape[-1] // 2
+    a, b = h[..., :c], h[..., c:]
+    m = jnp.where(a >= b, a, b)
+    return jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+    )
+
+
+def _ppe_fwd(h):
+    return _phase_pool_exit(h), h
+
+
+def _ppe_bwd(h, dy):
+    c = h.shape[-1] // 2
+    a, b = h[..., :c], h[..., c:]
+    psel = a >= b
+    m = jnp.where(psel, a, b)
+    n, hh, w, _ = m.shape
+    h2 = hh // 2
+    m2 = m[:, : 2 * h2].reshape(n, h2, 2, w, c)
+    hsel = m2[:, :, 0] >= m2[:, :, 1]
+    dm = jnp.stack(
+        [jnp.where(hsel, dy, 0).astype(dy.dtype),
+         jnp.where(hsel, 0, dy).astype(dy.dtype)], axis=2
+    ).reshape(n, 2 * h2, w, c)
+    if 2 * h2 != hh:
+        dm = jnp.pad(dm, ((0, 0), (0, hh - 2 * h2), (0, 0), (0, 0)))
+    dh = jnp.concatenate(
+        [jnp.where(psel, dm, 0), jnp.where(psel, 0, dm)], axis=-1
+    ).astype(h.dtype)
+    return (dh,)
+
+
+_phase_pool_exit.defvjp(_ppe_fwd, _ppe_bwd)
+
+
 def vgg16_random_params(seed: int = 0, dtype=jnp.float32) -> Dict[str, np.ndarray]:
     """Deterministic He-normal random VGG16 conv weights (fallback)."""
     rng = np.random.default_rng(seed)
@@ -127,13 +174,8 @@ def vgg16_features(
             if seq > deepest:
                 break
             if in_s2d and vgg_s2d == "2":
-                half = h.shape[-1] // 2
-                a, b2 = h[..., :half], h[..., half:]
-                h = jnp.where(a >= b2, a, b2)  # W-phase max, first-wins VJP
-                h = jax.lax.reduce_window(
-                    h, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1),
-                    "VALID",
-                )
+                # W-phase max + 2x1 H pool, recompute-in-backward VJP
+                h = _phase_pool_exit(h)
                 in_s2d = False
                 seq += 1
                 continue
