@@ -54,6 +54,20 @@ def bn_fold_enabled() -> bool:
     return os.environ.get("FCDGAN_NO_BN_FOLD") != "1"
 
 
+def bn_fused_enabled() -> bool:
+    """Custom-VJP train-mode BN with one-pass per-channel reductions
+    (ops/fused_bn.py; Pallas on TPU, jnp elsewhere). Opt-in
+    FCDGAN_FUSED_BN=1 — measured NET-NEGATIVE on the v5e joint step
+    (3.61 -> 2.91 Mpx/s with the Pallas reductions, 3.38 with jnp +
+    FCDGAN_BN_PALLAS=0): XLA fuses the stat reductions into the conv
+    backward epilogues, which the custom VJP forecloses, and its separate
+    dx pass re-reads x. Kept as a verified-correct building block (see
+    tests/test_fused_bn.py) for layouts where the fusion argument flips."""
+    import os
+
+    return os.environ.get("FCDGAN_FUSED_BN") == "1"
+
+
 class _S2dConv(nn.Module):
     """Conv with the same parameter tree as nn.Conv, computed through the
     exact space-to-depth transform (ops/s2d_conv.py) — the lane-utilization
@@ -305,6 +319,21 @@ class _GroupedBatchNorm(nn.Module):
         fb = (None if fold_bias is None
               else jax.lax.stop_gradient(fold_bias.astype(jnp.float32)))
         xg = x.reshape(x.shape[:-1] + (self.phases, c))
+        if train and bn_fused_enabled():
+            # custom-VJP path: Pallas one-pass reductions on TPU, identical
+            # formulas via jnp elsewhere (ops/fused_bn.py)
+            from ..ops.fused_bn import bn_train
+
+            dtype = self.dtype or x.dtype
+            y, mean, var = bn_train(x, scale, bias, self.phases,
+                                    self.epsilon, self.axis_name, dtype)
+            if not self.is_initializing():
+                mean = jax.lax.stop_gradient(mean)
+                var = jax.lax.stop_gradient(var)
+                stored_mean = mean if fb is None else mean + fb
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * stored_mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+            return y.astype(dtype)
         if train:
             xf = xg.astype(jnp.float32)
             axes = tuple(range(xf.ndim - 1))

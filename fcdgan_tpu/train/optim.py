@@ -14,15 +14,61 @@ hyperparam-injection pytree surgery.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
+
+
+def _fused_enabled() -> bool:
+    """Flat-buffer optimizer state (opt-in FCDGAN_FUSED_OPT=1).
+
+    The per-leaf optax update emits one small fusion per parameter leaf
+    (~119 across the two USSS nets); keeping the moments as ONE flat f32
+    vector turns the whole update into a handful of big elementwise fusions
+    with element-for-element identical math. Measured NEUTRAL on the v5e
+    joint step (3.59 vs 3.61 Mpx/s, within host noise): the ravel/unravel
+    copies cancel the per-leaf dispatch savings at this parameter count,
+    so the simpler per-leaf form stays the default."""
+    return os.environ.get("FCDGAN_FUSED_OPT") == "1"
+
+
+class FlatAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+
+
+def _flat_adam(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jnp.zeros_like(flat),
+            nu=jnp.zeros_like(flat),
+        )
+
+    def update(updates, state, params=None):
+        g, unravel = ravel_pytree(updates)
+        mu = b1 * state.mu + (1 - b1) * g
+        nu = b2 * state.nu + (1 - b2) * jnp.square(g)
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        mhat = mu / (1 - b1**cf)
+        nhat = nu / (1 - b2**cf)
+        u = -(mhat / (jnp.sqrt(nhat) + eps))
+        return unravel(u), FlatAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def adam(b1: float = 0.9, b2: float = 0.99, eps: float = 1e-8) -> optax.GradientTransformation:
     """Unit-LR torch-Adam: chain(scale_by_adam, scale(-1))."""
+    if _fused_enabled():
+        return _flat_adam(b1, b2, eps)
     return optax.chain(
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps, eps_root=0.0),
         optax.scale(-1.0),
@@ -47,8 +93,28 @@ def _scale_by_torch_rms(alpha: float = 0.99, eps: float = 1e-8) -> optax.Gradien
     return optax.GradientTransformation(init, update)
 
 
+class FlatRmsPropState(NamedTuple):
+    sq_avg: jnp.ndarray
+
+
+def _flat_rmsprop(alpha: float, eps: float) -> optax.GradientTransformation:
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatRmsPropState(sq_avg=jnp.zeros_like(flat))
+
+    def update(updates, state, params=None):
+        g, unravel = ravel_pytree(updates)
+        sq = alpha * state.sq_avg + (1 - alpha) * jnp.square(g)
+        u = -(g / (jnp.sqrt(sq) + eps))
+        return unravel(u), FlatRmsPropState(sq_avg=sq)
+
+    return optax.GradientTransformation(init, update)
+
+
 def rmsprop(alpha: float = 0.99, eps: float = 1e-8) -> optax.GradientTransformation:
     """Unit-LR torch-RMSprop (eps outside sqrt, no bias correction)."""
+    if _fused_enabled():
+        return _flat_rmsprop(alpha, eps)
     return optax.chain(_scale_by_torch_rms(alpha, eps), optax.scale(-1.0))
 
 
