@@ -110,7 +110,7 @@ def stitched_inference(
                 if job is sentinel:
                     return
                 cmap, items, weights = job
-                cmap = dequant(cmap)
+                cmap = dequant(cmap)  # blocks on the async copy, off-loop
                 for ns in range(len(items)):
                     if weights[ns] == 0:
                         continue
@@ -124,7 +124,6 @@ def stitched_inference(
     interior = dataset.interior_sizes()  # (n_tiles, 2) core (h, w)
     pixels = 0
     t0 = time.perf_counter()
-    pending = None
     for batch in prefetch(iter(loader), prefetch_depth):
         db = put(batch) if put is not None else batch
         bx, by = db["x"], db["y"]
@@ -134,15 +133,11 @@ def stitched_inference(
             bx = np.asarray(bx).astype(transfer_dtype)
             by = np.asarray(by).astype(transfer_dtype)
         cmap_dev = infer_fn(sstate, bx, by)
-        if pending is not None:  # drain the previous batch while this one runs
-            q.put(pending)
-        pending = (np.asarray(cmap_dev), batch["item"], batch["weight"])
+        q.put((cmap_dev, batch["item"], batch["weight"]))
         for ns in range(len(batch["item"])):
             if batch["weight"][ns] > 0:
                 ch, cw = interior[int(batch["item"][ns])]
                 pixels += int(ch) * int(cw)
-    if pending is not None:
-        q.put(pending)
     q.put(sentinel)
     wt.join()
     if err:
