@@ -84,11 +84,13 @@ def perception_loss(
         n_channels = target.shape[-1]
         xm = _mask_image(target, cmask)  # (B, H, W, C)
         ym = _mask_image(generated, cmask)
-        # (C*B, H, W, 3): each band replicated to RGB, stacked on batch
+        # (C*B, H, W, 1): one plane per band, stacked on batch. The reference
+        # replicates each band to RGB (Loss.py:52); vgg16_features collapses
+        # conv1_1's in-channels instead (k.sum == conv of the replicated
+        # input, exactly), so the 3x band replication never materializes.
         def stack(img):
             bands = jnp.moveaxis(img, -1, 0)[..., None]  # (C, B, H, W, 1)
-            bands = jnp.tile(bands, (1, 1, 1, 1, 3))
-            return bands.reshape((-1,) + img.shape[1:3] + (3,))
+            return bands.reshape((-1,) + img.shape[1:3] + (1,))
 
         x, y = stack(xm), stack(ym)
         n_rep = n_channels
