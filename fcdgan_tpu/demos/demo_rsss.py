@@ -230,12 +230,18 @@ def run(cfg: RSSSConfig) -> Dict:
     acc = Evaluator(num_class=len(cfg.gt_map))
     density_name = "{}{}".format(cfg.out_name_density, cfg.ext)
     color_name = "{}{}".format(cfg.out_name_binary, cfg.ext)
-    from ..eval.inference import quantized_infer
+    from ..eval.inference import quantized_infer, run_overlapped
 
     infer_q, dequant = quantized_infer(steps.infer, cfg.density_dtype)
-    for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+
+    def infer_compute(batch):
         db = put(batch)
-        cmap = dequant(infer_q(sstate, db["x"], db["y"]))
+        return infer_q(sstate, db["x"], db["y"])
+
+    def infer_process(cmap_dev, batch):
+        # writer thread: download + per-scene raster writes + metrics overlap
+        # the next batch's device compute (multi-scene OSCD stitching pipelined)
+        cmap = dequant(cmap_dev)
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
             if batch["weight"][ns] == 0:
@@ -251,6 +257,9 @@ def run(cfg: RSSSConfig) -> Dict:
             acc.add_batch_map(ref_chw[0, y0:y1, x0:x1].astype(np.int16),
                               cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
                               list(cfg.gt_map), list(cfg.pre_map))
+
+    run_overlapped(prefetch(iter(test_loader), cfg.prefetch_depth),
+                   infer_compute, infer_process)
     test_dataset.close_outputs()
     print(segmentation_summary(acc))
     print("\r" + "End of Saving", flush=True)

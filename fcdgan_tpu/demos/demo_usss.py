@@ -220,12 +220,19 @@ def run(cfg: USSSConfig) -> Dict:
     out_color = None
     pad = cfg.overlap_padding
     processed = 0
-    from ..eval.inference import quantized_infer
+    from ..eval.inference import quantized_infer, run_overlapped
 
     infer_q, dequant = quantized_infer(steps.infer, cfg.density_dtype)
-    for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+
+    def infer_compute(batch):
         db = put(batch)
-        cmap = dequant(infer_q(sstate, db["x"], db["y"]))
+        return infer_q(sstate, db["x"], db["y"])
+
+    def infer_process(cmap_dev, batch):
+        # writer thread: the blocking device->host download + raster/PNG
+        # writes + metric accumulation overlap the next batch's device compute
+        nonlocal out_color, processed
+        cmap = dequant(cmap_dev)
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
             if batch["weight"][ns] == 0:
@@ -253,6 +260,9 @@ def run(cfg: USSSConfig) -> Dict:
         processed += int(np.asarray(batch["weight"]).sum())
         if cfg.progress:
             print("\rProcessing batch: {}/{}".format(processed, total), end="", flush=True)
+
+    run_overlapped(prefetch(iter(test_loader), cfg.prefetch_depth),
+                   infer_compute, infer_process)
     if cfg.progress:
         print("\r", end="", flush=True)
     from ..io.records import segmentation_summary

@@ -217,9 +217,16 @@ def run(cfg: WSSSConfig) -> Dict:
     acc = Evaluator(num_class=2)
     from PIL import Image
 
-    for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+    from ..eval.inference import run_overlapped
+
+    def infer_compute(batch):
+        nonlocal sstate  # train-mode forward threads updated BN stats
         db = put(batch)
         cmap_dev, sstate = steps.infer_train_mode(sstate, db["x"], db["y"])
+        return cmap_dev
+
+    def infer_process(cmap_dev, batch):
+        # writer thread: download + PNG writes overlap the next forward
         cmap = np.asarray(cmap_dev)
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
@@ -237,6 +244,9 @@ def run(cfg: WSSSConfig) -> Dict:
             if change_write.ndim == 3:
                 change_write = change_write.transpose((1, 2, 0))
             Image.fromarray(np.uint8(change_write)).save(out_path)
+
+    run_overlapped(prefetch(iter(test_loader), cfg.prefetch_depth),
+                   infer_compute, infer_process)
 
     print("\rSegmentation, " + segmentation_summary(acc))
     print("\r" + "End of Saving", flush=True)

@@ -60,6 +60,49 @@ def quantized_infer(infer_fn: Callable, density_dtype: str = "float32"):
     return out
 
 
+def run_overlapped(batches, compute: Callable, process: Callable,
+                   depth: int = 4) -> None:
+    """Overlap device compute with host-side per-batch processing.
+
+    ``compute(batch)`` dispatches async device work and returns device
+    arrays; ``process(out, batch)`` runs on a writer thread and is where the
+    blocking device->host download (``np.asarray``/dequant) happens — so
+    batch N's download + host writes overlap batch N+1's compute. Measured
+    on the axon relay this form is the win (uint8 stitched inference
+    0.795 -> 1.013 Mpx/s, BASELINE.md); an explicit early
+    ``copy_to_host_async`` in the compute loop instead serializes against
+    the relay's dispatch channel (measured 0.497).
+
+    Exceptions in ``process`` stop further processing (remaining jobs are
+    drained unprocessed so the producer never deadlocks) and re-raise here.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def writer():
+        while True:
+            job = q.get()
+            if job is sentinel:
+                return
+            if not err:
+                try:
+                    process(*job)
+                except BaseException as e:
+                    err.append(e)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    try:
+        for batch in batches:
+            q.put((compute(batch), batch))
+    finally:
+        q.put(sentinel)
+        wt.join()
+    if err:
+        raise err[0]
+
+
 def stitched_inference(
     dataset,
     infer_fn: Callable,
@@ -99,32 +142,12 @@ def stitched_inference(
         loader = BatchLoader(dataset, batch_size, fields=("x", "y", "item", "ref"),
                              shuffle=False)
 
-    q: "queue.Queue" = queue.Queue(maxsize=writer_depth)
-    sentinel = object()
-    err = []
-
-    def writer():
-        try:
-            while True:
-                job = q.get()
-                if job is sentinel:
-                    return
-                cmap, items, weights = job
-                cmap = dequant(cmap)  # blocks on the async copy, off-loop
-                for ns in range(len(items)):
-                    if weights[ns] == 0:
-                        continue
-                    dataset.write_default(cmap[ns], int(items[ns]))
-        except BaseException as e:  # pragma: no cover
-            err.append(e)
-
-    wt = threading.Thread(target=writer, daemon=True)
-    wt.start()
-
     interior = dataset.interior_sizes()  # (n_tiles, 2) core (h, w)
     pixels = 0
     t0 = time.perf_counter()
-    for batch in prefetch(iter(loader), prefetch_depth):
+
+    def compute(batch):
+        nonlocal pixels
         db = put(batch) if put is not None else batch
         bx, by = db["x"], db["y"]
         if transfer_dtype is not None:
@@ -132,16 +155,21 @@ def stitched_inference(
             # relay) transfers dominate full-scene inference
             bx = np.asarray(bx).astype(transfer_dtype)
             by = np.asarray(by).astype(transfer_dtype)
-        cmap_dev = infer_fn(sstate, bx, by)
-        q.put((cmap_dev, batch["item"], batch["weight"]))
         for ns in range(len(batch["item"])):
             if batch["weight"][ns] > 0:
                 ch, cw = interior[int(batch["item"][ns])]
                 pixels += int(ch) * int(cw)
-    q.put(sentinel)
-    wt.join()
-    if err:
-        raise err[0]
+        return infer_fn(sstate, bx, by)
+
+    def process(cmap_dev, batch):
+        cmap = dequant(cmap_dev)  # blocks on the async copy, off-loop
+        for ns in range(len(batch["item"])):
+            if batch["weight"][ns] == 0:
+                continue
+            dataset.write_default(cmap[ns], int(batch["item"][ns]))
+
+    run_overlapped(prefetch(iter(loader), prefetch_depth), compute, process,
+                   depth=writer_depth)
     seconds = time.perf_counter() - t0
     dataset.close_outputs()
     return {"pixels": pixels, "seconds": seconds,

@@ -55,3 +55,32 @@ def test_stitched_inference_matches_sequential(tmp_path):
         assert stats_q["pixels"] == 96 * 80
         q = TiffReader(out_q).read_block()
         np.testing.assert_allclose(q, b, atol=atol)
+
+
+def test_run_overlapped_order_and_errors():
+    from fcdgan_tpu.eval.inference import run_overlapped
+
+    # processing happens for every batch, in order, on another thread
+    import threading
+
+    seen = []
+    main = threading.get_ident()
+    run_overlapped(
+        range(20),
+        compute=lambda b: b * 2,
+        process=lambda out, b: seen.append((out, b, threading.get_ident())),
+        depth=3,
+    )
+    assert [(o, b) for o, b, _ in seen] == [(i * 2, i) for i in range(20)]
+    assert all(t != main for _, _, t in seen)
+
+    # a process error propagates and does not deadlock the producer
+    def boom(out, b):
+        raise ValueError("boom")
+
+    try:
+        run_overlapped(range(50), compute=lambda b: b, process=boom, depth=2)
+    except ValueError as e:
+        assert str(e) == "boom"
+    else:
+        raise AssertionError("error not propagated")
