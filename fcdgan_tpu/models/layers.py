@@ -522,9 +522,9 @@ def max_pool_2x2_wsplit(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch the 2x2/2 max pool (FCDGAN_POOL=wsplit|mask|xla; default
-    xla select_and_scatter — both alternatives measured net-negative here,
-    see their docstrings)."""
+    """Dispatch the 2x2/2 max pool (FCDGAN_POOL=pallas|wsplit|mask|xla;
+    default xla select_and_scatter — see each alternative's docstring for
+    its measured A/B)."""
     import os
 
     mode = os.environ.get("FCDGAN_POOL")
@@ -534,6 +534,12 @@ def pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
         return max_pool_2x2(x)
     if mode == "wsplit":
         return max_pool_2x2_wsplit(x)
+    if mode == "pallas":
+        # fused recompute backward (ops/pallas/pool_bwd.py): identical
+        # routing to select_and_scatter, one VMEM pass instead of a scatter
+        from ..ops.pallas.pool_bwd import max_pool_2x2_fused
+
+        return max_pool_2x2_fused(x)
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
