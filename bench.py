@@ -240,10 +240,14 @@ def bench_scaling_worker(n: int):
 
 
 def main():
+    from fcdgan_tpu.utils.runtime import enable_compile_cache, wait_for_backend
+
+    # the remote TPU relay can be transiently down; don't record a failed
+    # round over a backend hiccup
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
-
-    from fcdgan_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
 

@@ -35,6 +35,52 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     return path
 
 
+def wait_for_backend(max_wait_s: float = 900.0,
+                     probe_timeout_s: float = 120.0,
+                     interval_s: float = 30.0) -> bool:
+    """Block until the JAX default backend initializes; True when ready.
+
+    The remote TPU relay can be transiently unavailable (init raises
+    UNAVAILABLE or hangs); a failed in-process init is cached by jax, so the
+    probe runs in a SUBPROCESS and the real in-process init only happens
+    after a probe succeeds. Gives up after ``max_wait_s`` (returns False and
+    lets the caller's real init surface the error). No-op overhead on a
+    healthy backend: one ~2 s subprocess.
+
+    Disable with FCDGAN_NO_BACKEND_WAIT=1.
+    """
+    if os.environ.get("FCDGAN_NO_BACKEND_WAIT") == "1":
+        return True
+    import subprocess
+    import sys
+    import time
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+            reason = (r.stderr.strip().splitlines() or ["?"])[-1][-200:]
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung > {probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"wait_for_backend: giving up after {attempt} probes "
+                  f"({reason})", file=sys.stderr, flush=True)
+            return False
+        print(f"wait_for_backend: backend not ready (attempt {attempt}: "
+              f"{reason}); retrying, {remaining:.0f}s left",
+              file=sys.stderr, flush=True)
+        time.sleep(min(interval_s, max(remaining, 0)))
+
+
 def apply_platform(platform: str | None) -> None:
     """Force the JAX platform if requested (the axon sitecustomize pins
     JAX_PLATFORMS at interpreter startup, so the env var alone is ignored;
