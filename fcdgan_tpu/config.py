@@ -60,6 +60,10 @@ class USSSConfig:
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
     n_devices: Optional[int] = None
+    # multi-host (one process per host): jax.distributed settings
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     vgg_npz: Optional[str] = None
     prefetch_depth: int = 2
     log_tensorboard: bool = True
@@ -121,6 +125,10 @@ class WSSSConfig:
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
     n_devices: Optional[int] = None
+    # multi-host (one process per host): jax.distributed settings
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     vgg_npz: Optional[str] = None
     prefetch_depth: int = 2
     log_tensorboard: bool = True
@@ -186,6 +194,10 @@ class RSSSConfig:
     checkpoint_every: int = 0  # >0: resumable checkpoint every N epochs
     resume: bool = False       # resume from the periodic checkpoint if present
     n_devices: Optional[int] = None
+    # multi-host (one process per host): jax.distributed settings
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     vgg_npz: Optional[str] = None
     prefetch_depth: int = 2
     log_tensorboard: bool = True

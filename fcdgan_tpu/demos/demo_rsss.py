@@ -61,6 +61,10 @@ def _scene_scalers(img_dir: str, txt_name: str, patch_size, stats_name: str) -> 
 def run(cfg: RSSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from ..parallel.multihost import initialize_multihost, put_multihost
+
+    multihost = initialize_multihost(  # before any backend use
+        cfg.coordinator_address, cfg.num_processes, cfg.process_id)
     enable_compile_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -99,11 +103,11 @@ def run(cfg: RSSSConfig) -> Dict:
     train_loader = make_loader(dataset, cfg.batch_size, True, cfg.seed + 1)
     test_loader = make_loader(test_dataset, cfg.batch_size, False, cfg.seed)
 
-    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
 
     def put(batch):
         if mesh is not None:
-            batch = pad_batch_to_multiple(batch, mesh.devices.size)
+            return put_multihost(batch, mesh)  # single-process: plain DP path
         return shard_batch(batch, mesh)
 
     # -- models / optimizers (Demo_RSSS.py:137-158) --------------------------

@@ -46,6 +46,10 @@ from ..train.steps import PerceptionConfig, USSSSteps
 def run(cfg: USSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from ..parallel.multihost import initialize_multihost, put_multihost
+
+    multihost = initialize_multihost(  # before any backend use
+        cfg.coordinator_address, cfg.num_processes, cfg.process_id)
     enable_compile_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -85,11 +89,11 @@ def run(cfg: USSSConfig) -> Dict:
                              fields=("x", "y", "item", "ref"),
                              shuffle=True, seed=cfg.seed)
 
-    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
 
     def put(batch):
         if mesh is not None:
-            batch = pad_batch_to_multiple(batch, mesh.devices.size)
+            return put_multihost(batch, mesh)  # single-process: plain DP path
         return shard_batch(batch, mesh)
 
     # -- models / steps (Demo_USSS.py:110-122) -------------------------------

@@ -44,6 +44,10 @@ from ..train.steps import PerceptionConfig, WSSSSteps
 def run(cfg: WSSSConfig) -> Dict:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from ..parallel.multihost import initialize_multihost, put_multihost, to_host
+
+    multihost = initialize_multihost(  # before any backend use
+        cfg.coordinator_address, cfg.num_processes, cfg.process_id)
     enable_compile_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -97,11 +101,11 @@ def run(cfg: WSSSConfig) -> Dict:
         unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
                                  shuffle=True, seed=cfg.seed)
 
-    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
 
     def put(batch):
         if mesh is not None:
-            batch = pad_batch_to_multiple(batch, mesh.devices.size)
+            return put_multihost(batch, mesh)  # single-process: plain DP path
         return shard_batch(batch, mesh)
 
     # -- models / optimizers (Demo_WSSS.py:103-122) --------------------------
@@ -227,7 +231,7 @@ def run(cfg: WSSSConfig) -> Dict:
 
     def infer_process(cmap_dev, batch):
         # writer thread: download + PNG writes overlap the next forward
-        cmap = np.asarray(cmap_dev)
+        cmap = to_host(cmap_dev)
         cmask = (cmap > cfg.prob_thresh).astype(np.int16)
         for ns in range(len(batch["weight"])):
             if batch["weight"][ns] == 0:

@@ -33,8 +33,10 @@ def quantized_infer(infer_fn: Callable, density_dtype: str = "float32"):
     Wrappers are cached per (infer_fn, dtype): repeat calls reuse the same
     jitted executable — a fresh ``jax.jit`` each call would silently pay a
     full recompile on every ``stitched_inference`` invocation."""
+    from ..parallel.multihost import to_host  # multi-host-safe download
+
     if density_dtype == "float32":
-        return infer_fn, lambda a: np.asarray(a, dtype=np.float32)
+        return infer_fn, lambda a: to_host(a).astype(np.float32, copy=False)
     global _QUANT_CACHE
     import weakref
 
@@ -49,10 +51,10 @@ def quantized_infer(infer_fn: Callable, density_dtype: str = "float32"):
     if density_dtype == "uint8":
         fn = jax.jit(lambda *a: (
             jnp.clip(infer_fn(*a), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
-        out = fn, lambda a: np.asarray(a).astype(np.float32) / 255.0
+        out = fn, lambda a: to_host(a).astype(np.float32) / 255.0
     elif density_dtype == "bfloat16":
         fn = jax.jit(lambda *a: infer_fn(*a).astype(jnp.bfloat16))
-        out = fn, lambda a: np.asarray(a).astype(np.float32)
+        out = fn, lambda a: to_host(a).astype(np.float32)
     else:
         raise ValueError(
             f"density_dtype must be float32/uint8/bfloat16, got {density_dtype}")
