@@ -210,13 +210,18 @@ def run(cfg: RSSSConfig) -> Dict:
                              "ssim_loss")}, step)
         _log_accuracy(writer, ev, step, prefix="")
 
-        # per-epoch test evaluation (Demo_RSSS.py:399-447)
-        test_acc = Evaluator(num_class=len(cfg.gt_map))
+        # per-epoch test evaluation (Demo_RSSS.py:399-447): confusion
+        # accumulates on device via EpochAverages — one download per epoch
+        # instead of a blocking transfer per batch
+        test_av = EpochAverages(1)
         for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
             db = put(batch)
             cm, _ = steps.eval_confusion(sstate, db["x"], db["y"], db["ref"],
                                          db["item"], db["weight"])
-            test_acc.add_confusion(np.asarray(cm))
+            test_av.update({"confusion": cm}, 0.0)
+        test_acc = Evaluator(num_class=len(cfg.gt_map))
+        if test_av.confusion is not None:
+            test_acc.add_confusion(test_av.confusion)
         miou, ciou = test_acc.Mean_Intersection_over_Union()
         print("Test Dataset: Overall Accuracy: {:.4f}, Kappa: {:.4f}, "
               "Precision Rate: {:.4f}, Recall Rate: {:.4f}, F1:{:.4f}, "

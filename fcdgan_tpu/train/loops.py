@@ -3,46 +3,131 @@
 Hosts the pieces every reference driver repeats: weighted epoch averages
 (``aver += loss * bs / total``, e.g. Demo_USSS.py:161-165), the '\\r' progress
 ETA line (:175-176), and device->host metric collection with a single
-confusion-matrix transfer per epoch (the reference's per-sample host eval loop
-collapsed onto the device, SURVEY.md section 2g)."""
+download per epoch (the reference's per-sample host eval loop collapsed onto
+the device, SURVEY.md section 2g).
+
+``EpochAverages`` is the hot-loop sync-point killer: per-batch metrics from
+the jitted steps are accumulated ON DEVICE by one tiny jitted add (async
+dispatch, donated accumulator) and downloaded once when the epoch-summary
+code first reads a value. A ``float()`` per metric per batch — the obvious
+implementation — is a blocking device round trip each (~tens of ms on
+remote-relay links, serializing the step pipeline everywhere). A two-deep
+in-flight window keeps host dispatch from running arbitrarily ahead of the
+device (bounds live batch buffers) while still overlapping step N+1's
+dispatch/upload with step N's compute."""
 
 from __future__ import annotations
 
 import time
-from typing import Dict
+from collections import deque
+from typing import Dict, Optional
 
 import numpy as np
 
 from ..eval.evaluator import Evaluator
 from ..utils.timing import progress_line
 
+_ACC = None  # lazily jitted device accumulators (shared across instances)
+_INIT = None
+
+
+def _acc_fns():
+    global _ACC, _INIT
+    if _ACC is None:
+        import jax
+        import jax.numpy as jnp
+
+        def scaled(metrics, scale):
+            out = {}
+            for k, v in metrics.items():
+                v = jnp.asarray(v)
+                if k == "confusion":
+                    # counts are integral (exact in f32 per batch); int32
+                    # epoch sums stay exact to 2^31 pixels where f32 would
+                    # round past 2^24
+                    out[k] = (v + 0.5).astype(jnp.int32)
+                else:
+                    out[k] = v.astype(jnp.float32) * scale
+            return out
+
+        _INIT = jax.jit(scaled)
+        _ACC = jax.jit(
+            lambda sums, metrics, scale: jax.tree.map(
+                lambda a, b: a + b, sums, scaled(metrics, scale)
+            ),
+            donate_argnums=(0,),
+        )
+    return _INIT, _ACC
+
 
 class EpochAverages:
-    """Weighted running averages of per-batch scalar metrics."""
+    """Weighted running averages of per-batch metrics, accumulated on device.
 
-    def __init__(self, total_size: int):
+    ``update`` never blocks on device results (beyond the bounded in-flight
+    window); reading any value (``av[k]``, ``as_dict``, ``evaluator``,
+    ``.confusion``) downloads the epoch totals once."""
+
+    def __init__(self, total_size: int, inflight: int = 2):
         self.total = max(total_size, 1)
-        self.sums: Dict[str, float] = {}
-        self.confusion = None
+        self._dev = None
+        self._host: Optional[Dict[str, float]] = None
+        self._window: deque = deque()
+        self._inflight = max(int(inflight), 0)
 
     def update(self, metrics: Dict, batch_weight_sum: float) -> None:
-        for k, v in metrics.items():
-            if k == "confusion":
-                cm = np.asarray(v)
-                self.confusion = cm if self.confusion is None else self.confusion + cm
+        init, acc = _acc_fns()
+        scale = batch_weight_sum / self.total
+        if self._dev is None:
+            self._dev = init(metrics, scale)
+        else:
+            self._dev = acc(self._dev, metrics, scale)
+        self._host = None
+        if self._inflight:
+            # backpressure: wait for the step from `inflight` batches ago
+            # before dispatching further (its metrics transitively depend on
+            # that whole step), keeping at most inflight+1 batches live.
+            # NB: hold a step OUTPUT (never donated), not the accumulator
+            # (donated into the next add)
+            self._window.append(next(iter(metrics.values())))
+            if len(self._window) > self._inflight:
+                old = self._window.popleft()
+                try:
+                    import jax
+
+                    jax.block_until_ready(old)
+                except Exception:  # non-jax values (plain floats in tests)
+                    pass
+
+    def _finalize(self) -> Dict:
+        if self._host is None:
+            if self._dev is None:
+                self._host = {}
             else:
-                self.sums[k] = self.sums.get(k, 0.0) + float(v) * batch_weight_sum / self.total
+                import jax
+
+                vals = jax.device_get(self._dev)
+                self._host = {
+                    k: (np.asarray(v, dtype=np.int64) if k == "confusion"
+                        else float(v))
+                    for k, v in vals.items()
+                }
+        return self._host
+
+    @property
+    def confusion(self):
+        return self._finalize().get("confusion")
 
     def __getitem__(self, k: str) -> float:
-        return self.sums.get(k, 0.0)
+        return self._finalize().get(k, 0.0)
 
     def as_dict(self) -> Dict[str, float]:
-        return dict(self.sums)
+        return {k: v for k, v in self._finalize().items() if k != "confusion"}
 
     def evaluator(self, num_class: int = 2) -> Evaluator:
         ev = Evaluator(num_class)
-        if self.confusion is not None:
-            ev.add_confusion(self.confusion)
+        cm = self.confusion
+        if cm is not None:
+            ev.add_confusion(cm)
         return ev
 
 
