@@ -125,6 +125,80 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
     }))
 
 
+def bench_driver(scene_px: int = 1024, epochs: int = 3):
+    """Real-driver joint-phase throughput: loader + placement + jitted step +
+    on-device metric accumulation, epochs/sec on a synthetic scene (the
+    BASELINE.json "USSS epochs/sec" metric, measured end to end rather than
+    step-only). vs_baseline = -1 (no reference measurement exists here)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache, wait_for_backend
+
+    wait_for_backend()
+    enable_compile_cache()
+
+    from fcdgan_tpu.data.datasets import ScenePairDataset
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.pipeline import BatchLoader, prefetch
+    from fcdgan_tpu.data.stats import dataset_meanstd
+    from fcdgan_tpu.data.synthetic import make_usss_scene
+    from fcdgan_tpu.parallel.mesh import shard_batch
+    from fcdgan_tpu.train.loops import EpochAverages
+    from fcdgan_tpu.train.schedules import JOINT_USSS
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_usss_scene(td, scene_px, scene_px, 3)
+        stats_ds = ScenePairDataset(paths["x"], paths["y"],
+                                    patch_size=(220, 220), overlap_padding=(0, 0))
+        sp1, sp2 = os.path.join(td, "s1.txt"), os.path.join(td, "s2.txt")
+        scaler = Normalize(*dataset_meanstd(sp1, sp2, stats_ds))
+        dataset = ScenePairDataset(paths["x"], paths["y"], ref_path=paths["ref"],
+                                   enhance=scaler, patch_size=(220, 220),
+                                   overlap_padding=(10, 10))
+        steps, gstate, sstate, _ = _setup_usss_step(batch=10)
+        steps.interior = jnp.asarray(dataset.interior_sizes(), jnp.int32)
+        try:
+            from fcdgan_tpu.data.pipeline import NativeSceneBatchLoader
+
+            loader = NativeSceneBatchLoader(dataset, 10, shuffle=True, seed=0)
+        except Exception:
+            loader = BatchLoader(dataset, 10, fields=("x", "y", "item", "ref"),
+                                 shuffle=True, seed=0)
+
+        def epoch(i):
+            nonlocal gstate, sstate
+            av = EpochAverages(len(dataset))
+            lr = JOINT_USSS(i)
+            for batch in prefetch(iter(loader), 2):
+                db = shard_batch(batch, None)
+                gstate, sstate, m = steps.joint(
+                    gstate, sstate, db["x"], db["y"], db["ref"], db["item"],
+                    db["weight"], lr, lr)
+                av.update(m, float(np.asarray(batch["weight"]).sum()))
+            return av["NetLoss"]  # downloads epoch totals (the real sync)
+
+        gstate, sstate = map(jax.device_put, (gstate, sstate))
+        epoch(0)  # warm: compile + caches
+        t0 = time.perf_counter()
+        for i in range(epochs):
+            epoch(i + 1)
+        dt = time.perf_counter() - t0
+
+    px = len(dataset) * 220 * 220 * epochs
+    print(json.dumps({
+        "metric": "usss_driver_joint_epochs_per_s",
+        "value": round(epochs / dt, 4),
+        "unit": "epochs/s",
+        "vs_baseline": -1.0,
+        "scene_px": scene_px,
+        "tiles_per_epoch": len(dataset),
+        "mpx_per_s": round(px / dt / 1e6, 3),
+    }))
+
+
 def bench_batch_sweep():
     """Single-chip batch sweep: Mpx/s at bs 10..80 (bounds DP efficiency
     analytically — a v5e-8 running global batch 80 is 8 chips at bs 10)."""
@@ -362,12 +436,17 @@ if __name__ == "__main__":
     ap.add_argument("--density-dtype", default="float32",
                     choices=["float32", "bfloat16", "uint8"])
     ap.add_argument("--scene-px", type=int, default=1024)
+    ap.add_argument("--driver", action="store_true",
+                    help="real-driver joint-phase epochs/sec")
+    ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch-sweep", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=0)
     args = ap.parse_args()
     if args.inference:
         bench_inference(args.density_dtype, args.scene_px)
+    elif args.driver:
+        bench_driver(args.scene_px, args.epochs)
     elif args.batch_sweep:
         bench_batch_sweep()
     elif args.scaling:
