@@ -135,9 +135,8 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
     import jax
     import jax.numpy as jnp
 
-    from fcdgan_tpu.utils.runtime import enable_compile_cache, wait_for_backend
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
 
-    wait_for_backend()
     enable_compile_cache()
 
     from fcdgan_tpu.data.datasets import ScenePairDataset
@@ -314,14 +313,10 @@ def bench_scaling_worker(n: int):
 
 
 def main():
-    from fcdgan_tpu.utils.runtime import enable_compile_cache, wait_for_backend
-
-    # the remote TPU relay can be transiently down; don't record a failed
-    # round over a backend hiccup
-    wait_for_backend()
-
     import jax
     import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
 
@@ -443,6 +438,13 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=0)
     args = ap.parse_args()
+    # scaling mode runs on CPU-mesh subprocesses, no TPU needed
+    if not args.scaling and not args.scaling_worker:
+        from fcdgan_tpu.utils.runtime import wait_for_backend
+
+        # the remote TPU relay can be transiently down; don't record a
+        # failed round over a backend hiccup
+        wait_for_backend()
     if args.inference:
         bench_inference(args.density_dtype, args.scene_px)
     elif args.driver:

@@ -75,9 +75,27 @@ def run_overlapped(batches, compute: Callable, process: Callable,
     ``copy_to_host_async`` in the compute loop instead serializes against
     the relay's dispatch channel (measured 0.497).
 
-    Exceptions in ``process`` stop further processing (remaining jobs are
-    drained unprocessed so the producer never deadlocks) and re-raise here.
+    Exceptions in ``process`` stop the producer at the next batch (remaining
+    queued jobs are drained unprocessed so nothing deadlocks) and re-raise.
+
+    Multi-host: JAX requires every process to enqueue collectives in the
+    same order, and both ``compute`` (sync-BN all-reduces in train-mode
+    forwards) and ``process`` (``to_host``'s process_allgather) may contain
+    them — two threads would interleave differently per process and hang the
+    pod. With ``jax.process_count() > 1`` everything runs synchronously on
+    the caller's thread instead.
     """
+    try:
+        import jax
+
+        multiprocess = jax.process_count() > 1
+    except Exception:  # pragma: no cover
+        multiprocess = False
+    if multiprocess:
+        for batch in batches:
+            process(compute(batch), batch)
+        return
+
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err = []
@@ -97,6 +115,8 @@ def run_overlapped(batches, compute: Callable, process: Callable,
     wt.start()
     try:
         for batch in batches:
+            if err:  # don't burn device time on batches nobody will process
+                break
             q.put((compute(batch), batch))
     finally:
         q.put(sentinel)

@@ -199,11 +199,14 @@ def vgg16_features(
             if li == 0 and h.shape[-1] == 1 and k.shape[2] == 3:
                 # Per-band perception feeds each band as a 1-channel plane
                 # instead of replicating it to RGB (Loss.py:52 replicates):
-                # conv(tile(x,3), k) == conv(x, k.sum(in_axis)) exactly, so
-                # collapsing conv1_1's in-channels here keeps the math
-                # identical while the (2*C*B, H, W, 3) stacked input and its
-                # BW-bound dX pass shrink 3x.
-                k = k.sum(axis=2, keepdims=True)
+                # conv(tile(x,3), k) == conv(x, k.sum(in_axis)) by linearity,
+                # so the (2*C*B, H, W, 3) stacked input and its BW-bound dX
+                # pass shrink 3x. The sum runs in f32 regardless of compute
+                # dtype: exact in f32 mode; under bf16 the only deviation is
+                # one bf16 rounding of the summed kernel (vs the replicated
+                # conv's f32 accumulation of three bf16 products).
+                k = jnp.asarray(params[f"conv{li}_kernel"], jnp.float32).sum(
+                    axis=2, keepdims=True).astype(h.dtype)
             if vgg_s2d in ("1", "2") and not in_s2d and s2d_mode(
                 h.shape[1], h.shape[2], 3, h.shape[-1], c
             ) == "1d":

@@ -56,7 +56,7 @@ def initialize_multihost(
     return True
 
 
-def process_slice(n: int, axis_len: Optional[int] = None) -> slice:
+def process_slice(n: int) -> slice:
     """This process's contiguous slice of a global batch axis of length n."""
     k = jax.process_count()
     i = jax.process_index()

@@ -67,9 +67,17 @@ class EpochAverages:
     window); reading any value (``av[k]``, ``as_dict``, ``evaluator``,
     ``.confusion``) downloads the epoch totals once."""
 
+    #: fold device totals into float64/int64 host sums every N batches:
+    #: bounds f32 scalar-accumulation drift (~sqrt(N)*eps) and keeps int32
+    #: confusion totals far from 2^31 (safe up to ~8.4M counted pixels per
+    #: batch = 220px tiles at batch 173), at one small download per N batches
+    FOLD_EVERY = 256
+
     def __init__(self, total_size: int, inflight: int = 2):
         self.total = max(total_size, 1)
         self._dev = None
+        self._dev_n = 0
+        self._folded: Optional[Dict] = None
         self._host: Optional[Dict[str, float]] = None
         self._window: deque = deque()
         self._inflight = max(int(inflight), 0)
@@ -81,36 +89,46 @@ class EpochAverages:
             self._dev = init(metrics, scale)
         else:
             self._dev = acc(self._dev, metrics, scale)
+        self._dev_n += 1
         self._host = None
+        if self._dev_n >= self.FOLD_EVERY:
+            self._fold()
         if self._inflight:
             # backpressure: wait for the step from `inflight` batches ago
             # before dispatching further (its metrics transitively depend on
             # that whole step), keeping at most inflight+1 batches live.
             # NB: hold a step OUTPUT (never donated), not the accumulator
-            # (donated into the next add)
+            # (donated into the next add). block_until_ready is a no-op on
+            # non-jax leaves and must propagate real device errors.
             self._window.append(next(iter(metrics.values())))
             if len(self._window) > self._inflight:
-                old = self._window.popleft()
-                try:
-                    import jax
+                import jax
 
-                    jax.block_until_ready(old)
-                except Exception:  # non-jax values (plain floats in tests)
-                    pass
+                jax.block_until_ready(self._window.popleft())
+
+    def _fold(self) -> None:
+        """Download the device totals and fold into 64-bit host sums."""
+        if self._dev is None:
+            return
+        import jax
+
+        vals = jax.device_get(self._dev)
+        if self._folded is None:
+            self._folded = {}
+        for k, v in vals.items():
+            if k == "confusion":
+                v = np.asarray(v, dtype=np.int64)
+                prev = self._folded.get(k)
+                self._folded[k] = v if prev is None else prev + v
+            else:
+                self._folded[k] = self._folded.get(k, 0.0) + float(v)
+        self._dev = None
+        self._dev_n = 0
 
     def _finalize(self) -> Dict:
         if self._host is None:
-            if self._dev is None:
-                self._host = {}
-            else:
-                import jax
-
-                vals = jax.device_get(self._dev)
-                self._host = {
-                    k: (np.asarray(v, dtype=np.int64) if k == "confusion"
-                        else float(v))
-                    for k, v in vals.items()
-                }
+            self._fold()
+            self._host = dict(self._folded or {})
         return self._host
 
     @property
