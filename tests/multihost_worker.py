@@ -107,8 +107,38 @@ def main_driver(pid: int, port: int, work_dir: str) -> None:
     print(f"RESULT {f1:.8f} {out['density_path']}", flush=True)
 
 
+def main_driver_wsss(pid: int, port: int, work_dir: str) -> None:
+    """Full WSSS driver two-process: pair batches, PNG writers, train-mode
+    BN final inference with the allgather download path."""
+    from fcdgan_tpu.config import WSSSConfig
+    from fcdgan_tpu.data.synthetic import make_whu_dataset
+    from fcdgan_tpu.demos.demo_wsss import run
+
+    d = os.path.join(work_dir, f"p{pid}")
+    os.makedirs(d, exist_ok=True)
+    paths = make_whu_dataset(d, n_changed=4, n_unchanged=6, size=48, seed=3)
+    cfg = WSSSConfig(
+        img_dir_x=paths["before"], img_dir_y=paths["after"],
+        ref_dir=paths["Label"], label_dir=paths["root"],
+        out_g_model_dir=os.path.join(d, "GModel"),
+        init_num_epochs_g=1, num_epochs=1, batch_size=3, unc_batch_size=4,
+        msssim_weights=(0.5, 0.5), log_tensorboard=False, progress=False,
+        save_checkpoints=False,  # per-process dirs; process-0-only saves
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    out = run(cfg)
+    import glob
+
+    n_maps = len(glob.glob(os.path.join(out["out_dir"], "*.tif")))
+    f1 = out["evaluator"].Pixel_F1_score()
+    print(f"RESULT {f1:.8f} {n_maps}", flush=True)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 3:
+    if len(sys.argv) > 4 and sys.argv[4] == "wsss":
+        main_driver_wsss(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 3:
         main_driver(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
     else:
         main(int(sys.argv[1]), int(sys.argv[2]))

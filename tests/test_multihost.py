@@ -156,3 +156,37 @@ def test_two_process_usss_driver_end_to_end(tmp_path):
     np.testing.assert_allclose(ds, d0, atol=2e-5)
     np.testing.assert_allclose(out["evaluator"].Pixel_F1_score(),
                                results[0][0], atol=1e-6)
+
+
+def test_two_process_wsss_driver_end_to_end(tmp_path):
+    """Full WSSS driver across two processes: pair batches, adversarial
+    steps, PNG eval maps via the allgather download, identical metrics."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_ROOT, "tests", "multihost_worker.py"),
+             str(pid), str(port), str(tmp_path), "wsss"],
+            env=env, cwd=_ROOT, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"wsss worker failed:\n{err[-4000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, f1, n_maps = line.split()
+        results.append((float(f1), int(n_maps)))
+
+    # every changed sample got an eval map on BOTH processes, same metrics
+    assert results[0][1] == results[1][1] == 4
+    assert results[0][0] == results[1][0]
+    assert np.isfinite(results[0][0])
