@@ -66,11 +66,22 @@ def perception_loss(
     per_band: bool = False,
     sample_weight: Optional[jnp.ndarray] = None,
     dtype=None,
+    target_grad: bool = True,
 ) -> jnp.ndarray:
     """Frozen-VGG16 MSE over unchanged pixels (parity: Loss.py:17-61).
 
     RGB mode uses the first three bands; per-band mode replicates each band to
     three channels and averages over bands — here as one stacked VGG pass.
+
+    ``target_grad=False`` declares the target branch gradient-dead — true in
+    every G-pretrain phase, where both ``target`` and ``cmask`` are data
+    (cmap=0 at Demo_USSS.py:151/Demo_WSSS.py:167, cmap=region at
+    Demo_RSSS.py:203), so d(masked target)/d(params) == 0 identically. The
+    two branches then run as SEPARATE VGG passes with the target pass under
+    ``stop_gradient``: stacked, one conv op carries both halves and XLA must
+    compute the backward dX for the full stack; split, the target half's
+    backward disappears — ~half the perception backward FLOPs for free.
+    Forward math is unchanged (VGG16 features have no cross-sample ops).
     """
     w = _weights(target, sample_weight)
     layer_num = len(feature_layers)
@@ -96,14 +107,22 @@ def perception_loss(
         n_rep = n_channels
 
     loss = jnp.zeros((), jnp.float32)
-    # one stacked VGG pass over both branches: double the conv batch (better
-    # MXU fill at this model's 64-ch early layers) and half the kernel count
-    n_stack = x.shape[0]
-    feats = vgg_mod.vgg16_features(
-        jnp.concatenate([x, y], axis=0), vgg_params, feature_layers, dtype=dtype
-    )
-    fx = [f[:n_stack] for f in feats]
-    fy = [f[n_stack:] for f in feats]
+    if target_grad:
+        # one stacked VGG pass over both branches: double the conv batch
+        # (better MXU fill at this model's 64-ch early layers) and half the
+        # kernel count
+        n_stack = x.shape[0]
+        feats = vgg_mod.vgg16_features(
+            jnp.concatenate([x, y], axis=0), vgg_params, feature_layers,
+            dtype=dtype,
+        )
+        fx = [f[:n_stack] for f in feats]
+        fy = [f[n_stack:] for f in feats]
+    else:
+        fx = vgg_mod.vgg16_features(
+            jax.lax.stop_gradient(x), vgg_params, feature_layers, dtype=dtype
+        )
+        fy = vgg_mod.vgg16_features(y, vgg_params, feature_layers, dtype=dtype)
     wn = jnp.maximum(w.sum(), 1.0)
     for a, b in zip(fx, fy):
         # per-sample MSE -> weighted batch mean (== torch global MSE when
@@ -167,6 +186,7 @@ def cnet_loss(
     sample_weight: Optional[jnp.ndarray] = None,
     ssim_grad: bool = True,
     perception_dtype=None,
+    perception_target_grad: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """USSS loss tuple (generator, l1, perception, ssim) (parity: Loss.py:64-95).
 
@@ -188,7 +208,7 @@ def cnet_loss(
     p_loss = perception_loss(
         target, generated, pmask, vgg_params, feature_layers,
         per_band=perception_per_band, sample_weight=sample_weight,
-        dtype=perception_dtype,
+        dtype=perception_dtype, target_grad=perception_target_grad,
     )
 
     # when the driver weights SSIM at 0 (all reference demos do,
@@ -214,6 +234,7 @@ def cgenerator_loss(
     sample_weight: Optional[jnp.ndarray] = None,
     ssim_grad: bool = True,
     perception_dtype=None,
+    perception_target_grad: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """WSSS/RSSS loss tuple (generator, ssim, perception) (parity: Loss.py:100-124).
 
@@ -238,7 +259,7 @@ def cgenerator_loss(
     p_loss = perception_loss(
         target, generated, cmap, vgg_params, feature_layers,
         per_band=perception_per_band, sample_weight=sample_weight,
-        dtype=perception_dtype,
+        dtype=perception_dtype, target_grad=perception_target_grad,
     )
     return generator_loss, ssim_loss, p_loss
 

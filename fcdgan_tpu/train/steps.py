@@ -34,6 +34,7 @@ all-reduces and computes global-batch BN statistics (sync-BN) automatically.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -145,6 +146,10 @@ class USSSSteps:
             {"params": ps, "batch_stats": bs_}, x, y, train=True,
             mutable=["batch_stats"]))
         self._cnet_ck = ck(self._cnet)
+        # G-pretrain variant: cmap/target are data there, so the perception
+        # target branch is gradient-dead and runs forward-only (losses.py
+        # perception_loss target_grad=False) — ~half the VGG backward cut
+        self._cnet_ck_pre = ck(functools.partial(self._cnet, target_grad=False))
 
         # donated states: the caller rebinds on every step, so the old
         # buffers feed the outputs in place (no HBM churn; no-op on CPU)
@@ -153,12 +158,13 @@ class USSSSteps:
         self.joint = jax.jit(self._joint, donate_argnums=(0, 1))
         self.infer = jax.jit(self._infer)
 
-    def _cnet(self, y, y_fake, cmap, w):
+    def _cnet(self, y, y_fake, cmap, w, target_grad=True):
         return L.cnet_loss(
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
             sample_weight=w, ssim_grad=self.sw != 0,
             perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
+            perception_target_grad=target_grad,
         )
 
     def _confusion(self, cmap, ref, item, w):
@@ -173,7 +179,7 @@ class USSSSteps:
 
         def loss_fn(pg):
             y_fake, muts = self._g_fwd(pg, gstate.batch_stats, x)
-            gen, l1, perc, ssim = self._cnet_ck(y, _f32(y_fake), cmap, w)
+            gen, l1, perc, ssim = self._cnet_ck_pre(y, _f32(y_fake), cmap, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, l1, perc, ssim)
 
@@ -288,18 +294,22 @@ class WSSSSteps:
             {"params": pg, "batch_stats": bs_}, x, train=True,
             mutable=["batch_stats"]))
         self._cgen_ck = ck(self._cgen)
+        # G-pretrain: cmap is data (zeros / region raster) -> perception
+        # target branch gradient-dead, run forward-only (losses.py)
+        self._cgen_ck_pre = ck(functools.partial(self._cgen, target_grad=False))
 
         self.g_pretrain = jax.jit(self._g_pretrain, donate_argnums=(0,))
         self.adversarial = jax.jit(self._adversarial, donate_argnums=(0, 1))
         self.infer = jax.jit(self._infer)
         self.infer_train_mode = jax.jit(self._infer_train_mode)
 
-    def _cgen(self, y, y_fake, cmap, w):
+    def _cgen(self, y, y_fake, cmap, w, target_grad=True):
         return L.cgenerator_loss(
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
             sample_weight=w, ssim_grad=self.sw != 0,
             perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
+            perception_target_grad=target_grad,
         )
 
     # -- G pretrain on unchanged pairs, cmap = 0 (Demo_WSSS.py:140-204) -----
@@ -308,7 +318,7 @@ class WSSSSteps:
 
         def loss_fn(pg):
             y_fake, muts = self._g_fwd(pg, gstate.batch_stats, x)
-            gen, ssim, perc = self._cgen_ck(y, _f32(y_fake), cmap, w)
+            gen, ssim, perc = self._cgen_ck_pre(y, _f32(y_fake), cmap, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, ssim, perc)
 
@@ -498,19 +508,20 @@ class RSSSSteps:
         self.infer = jax.jit(self._infer)
         self.eval_confusion = jax.jit(self._eval_confusion)
 
-    def _cgen(self, y, y_fake, cmap, w):
+    def _cgen(self, y, y_fake, cmap, w, target_grad=True):
         return L.cgenerator_loss(
             y, y_fake, cmap, self.vgg, self.pc.feature_layers,
             perception_per_band=self.pc.per_band, msssim_weights=self.msw,
             sample_weight=w, ssim_grad=self.sw != 0,
             perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
+            perception_target_grad=target_grad,
         )
 
     # -- G pretrain with the REGION raster as mask (Demo_RSSS.py:200-205) ---
     def _g_pretrain(self, gstate: NetState, x, y, region, w, lr):
         def loss_fn(pg):
             y_fake, muts = self._g_fwd(pg, gstate.batch_stats, x)
-            gen, ssim, perc = self._cgen_ck(y, _f32(y_fake), region, w)
+            gen, ssim, perc = self._cgen_ck_pre(y, _f32(y_fake), region, w)
             loss = gen + self.pw * perc + self.sw * ssim
             return loss, (muts["batch_stats"], gen, ssim, perc)
 
