@@ -54,6 +54,9 @@ class USSSConfig:
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
     remat: bool = False             # recompute forwards in backward (bigger batches)
+    ssim_metric: bool = True        # False skips the MS-SSIM metric forward
+                                    # entirely (only legal at ssim_weight 0;
+                                    # the reported ssim_loss becomes 0)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
@@ -119,6 +122,9 @@ class WSSSConfig:
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
     remat: bool = False             # recompute forwards in backward (bigger batches)
+    ssim_metric: bool = True        # False skips the MS-SSIM metric forward
+                                    # entirely (only legal at ssim_weight 0;
+                                    # the reported ssim_loss becomes 0)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0
@@ -188,6 +194,9 @@ class RSSSConfig:
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
     remat: bool = False             # recompute forwards in backward (bigger batches)
+    ssim_metric: bool = True        # False skips the MS-SSIM metric forward
+                                    # entirely (only legal at ssim_weight 0;
+                                    # the reported ssim_loss becomes 0)
     debug_nans: bool = False        # jax.debug_nans for fault isolation
     profile_dir: Optional[str] = None  # jax.profiler trace dir (tensorboard)
     seed: int = 0

@@ -129,7 +129,7 @@ def run(cfg: RSSSConfig) -> Dict:
         cfg.gt_map, cfg.pre_map, cfg.prob_thresh,
         cfg.discriminator_continuous, cfg.msssim_weights,
         test_interior_sizes=test_dataset.interior_sizes(),
-        remat=cfg.remat,
+        remat=cfg.remat, ssim_metric=cfg.ssim_metric,
     )
     key = jax.random.PRNGKey(cfg.seed)
     zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)

@@ -111,7 +111,7 @@ def run(cfg: USSSConfig) -> Dict:
         cfg.perception_weight, cfg.l1_weight, cfg.ssim_weight,
         dataset.interior_sizes(), cfg.overlap_padding,
         cfg.gt_map, cfg.pre_map, cfg.prob_thresh, cfg.msssim_weights,
-        remat=cfg.remat,
+        remat=cfg.remat, ssim_metric=cfg.ssim_metric,
     )
     key = jax.random.PRNGKey(cfg.seed)
     zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)

@@ -126,7 +126,7 @@ def run(cfg: WSSSConfig) -> Dict:
         cfg.perception_weight, cfg.ssim_weight, cfg.g_weight, cfg.l1_weight,
         cfg.d_weight, cfg.nc_weight, cfg.prob_thresh,
         cfg.discriminator_continuous, cfg.msssim_weights,
-        remat=cfg.remat,
+        remat=cfg.remat, ssim_metric=cfg.ssim_metric,
     )
     key = jax.random.PRNGKey(cfg.seed)
     zx = np.zeros((1, hw[0], hw[1], nband), np.float32)

@@ -187,6 +187,7 @@ def cnet_loss(
     ssim_grad: bool = True,
     perception_dtype=None,
     perception_target_grad: bool = True,
+    compute_ssim: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """USSS loss tuple (generator, l1, perception, ssim) (parity: Loss.py:64-95).
 
@@ -213,7 +214,11 @@ def cnet_loss(
 
     # when the driver weights SSIM at 0 (all reference demos do,
     # Demo_USSS.py:42) the value is still reported but its backward pass is
-    # cut — XLA cannot fold 0*grad because of NaN semantics
+    # cut — XLA cannot fold 0*grad because of NaN semantics. compute_ssim=
+    # False (driver --ssim-metric false, only legal at weight 0) skips the
+    # forward too and reports 0.
+    if not compute_ssim:
+        return generator_loss, l1_loss, p_loss, jnp.zeros((), jnp.float32)
     if not ssim_grad:
         tm, gm = jax.lax.stop_gradient(tm), jax.lax.stop_gradient(gm)
     ssim_per = ssim_mod.ms_ssim(
@@ -235,6 +240,7 @@ def cgenerator_loss(
     ssim_grad: bool = True,
     perception_dtype=None,
     perception_target_grad: bool = True,
+    compute_ssim: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """WSSS/RSSS loss tuple (generator, ssim, perception) (parity: Loss.py:100-124).
 
@@ -249,12 +255,15 @@ def cgenerator_loss(
     keep = (num_wnc > 0).astype(per.dtype)
     generator_loss = (per * keep * w).sum() / wn
 
-    if not ssim_grad:
-        tm, gm = jax.lax.stop_gradient(tm), jax.lax.stop_gradient(gm)
-    ssim_per = ssim_mod.ms_ssim(
-        tm, gm, data_range=1.0, size_average=False, weights=msssim_weights
-    )
-    ssim_loss = 1.0 - (ssim_per * w).sum() / wn
+    if not compute_ssim:
+        ssim_loss = jnp.zeros((), jnp.float32)
+    else:
+        if not ssim_grad:
+            tm, gm = jax.lax.stop_gradient(tm), jax.lax.stop_gradient(gm)
+        ssim_per = ssim_mod.ms_ssim(
+            tm, gm, data_range=1.0, size_average=False, weights=msssim_weights
+        )
+        ssim_loss = 1.0 - (ssim_per * w).sum() / wn
 
     p_loss = perception_loss(
         target, generated, cmap, vgg_params, feature_layers,

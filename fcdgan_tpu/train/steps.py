@@ -121,7 +121,11 @@ class USSSSteps:
         prob_thresh: float = 0.5,
         msssim_weights: Optional[Sequence[float]] = None,
         remat: bool = False,
+        ssim_metric: bool = True,
     ):
+        if not ssim_metric and ssim_weight != 0:
+            raise ValueError("ssim_metric=False requires ssim_weight == 0")
+        self.ssim_metric = ssim_metric
         self.G, self.S = generator, segmentor
         self.tx_g, self.tx_s = tx_g, tx_s
         self.vgg = vgg_params
@@ -165,6 +169,7 @@ class USSSSteps:
             sample_weight=w, ssim_grad=self.sw != 0,
             perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
             perception_target_grad=target_grad,
+            compute_ssim=self.ssim_metric,
         )
 
     def _confusion(self, cmap, ref, item, w):
@@ -278,7 +283,11 @@ class WSSSSteps:
         discriminator_continuous: bool = True,
         msssim_weights: Optional[Sequence[float]] = None,
         remat: bool = False,
+        ssim_metric: bool = True,
     ):
+        if not ssim_metric and ssim_weight != 0:
+            raise ValueError("ssim_metric=False requires ssim_weight == 0")
+        self.ssim_metric = ssim_metric
         self.G, self.S, self.D = generator, segmentor, discriminator
         self.tx_g, self.tx_s, self.tx_d = tx_g, tx_s, tx_d
         self.vgg = vgg_params
@@ -310,6 +319,7 @@ class WSSSSteps:
             sample_weight=w, ssim_grad=self.sw != 0,
             perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
             perception_target_grad=target_grad,
+            compute_ssim=self.ssim_metric,
         )
 
     # -- G pretrain on unchanged pairs, cmap = 0 (Demo_WSSS.py:140-204) -----
@@ -479,7 +489,11 @@ class RSSSSteps:
         msssim_weights: Optional[Sequence[float]] = None,
         test_interior_sizes: Optional[np.ndarray] = None,
         remat: bool = False,
+        ssim_metric: bool = True,
     ):
+        if not ssim_metric and ssim_weight != 0:
+            raise ValueError("ssim_metric=False requires ssim_weight == 0")
+        self.ssim_metric = ssim_metric
         self.G, self.S, self.D = generator, segmentor, discriminator
         self.tx_g, self.tx_s, self.tx_d = tx_g, tx_s, tx_d
         self.vgg = vgg_params
@@ -515,6 +529,7 @@ class RSSSSteps:
             sample_weight=w, ssim_grad=self.sw != 0,
             perception_dtype=jnp.bfloat16 if self.pc.dtype == "bfloat16" else None,
             perception_target_grad=target_grad,
+            compute_ssim=self.ssim_metric,
         )
 
     # -- G pretrain with the REGION raster as mask (Demo_RSSS.py:200-205) ---

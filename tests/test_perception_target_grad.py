@@ -66,6 +66,26 @@ def test_composite_losses_pass_through(data):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_compute_ssim_off_matches_except_metric(data):
+    """--ssim-metric false: identical losses/grads at ssim_weight 0, ssim=0."""
+    tgt, gen, cmap, vgg = data
+    msw = (0.5, 0.5)
+
+    def total(g, compute_ssim):
+        gl, l1, pl, sl = L.cnet_loss(tgt, g, cmap, vgg, TAPS,
+                                     msssim_weights=msw, ssim_grad=False,
+                                     compute_ssim=compute_ssim)
+        return gl + 0.65 * l1 + 0.4 * pl + 0.0 * sl, (gl, l1, pl, sl)
+
+    (v1, t1), g1 = jax.value_and_grad(total, has_aux=True)(gen, True)
+    (v0, t0), g0 = jax.value_and_grad(total, has_aux=True)(gen, False)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-6)
+    for a, b in zip(t0[:3], t1[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert float(t0[3]) == 0.0 and float(t1[3]) != 0.0
+
+
 def test_backward_flops_drop(data):
     """The split form must make the grad computation cheaper, not just equal."""
     tgt, gen, cmap, vgg = data
