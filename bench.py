@@ -198,6 +198,77 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
     }))
 
 
+def bench_pretrain():
+    """USSS phase-1 (G-pretrain) step throughput at the production config.
+
+    Isolates the round-2 pretrain-path work (gradient-dead perception target
+    branch skipped, losses.py target_grad=False). vs_baseline = speedup over
+    the same step with the stacked both-branch backward (target_grad=True),
+    measured in-process."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    steps, gstate, sstate, data = _setup_usss_step(batch=10)
+    d = {k: jnp.asarray(v) for k, v in data.items()}
+
+    def measure(step_fn, g):
+        g, m = step_fn(g, d["x"], d["y"], d["weight"], 1e-4)
+        jax.block_until_ready(m["NetLoss"])
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            g, m = step_fn(g, d["x"], d["y"], d["weight"], 1e-4)
+        jax.block_until_ready(m["NetLoss"])
+        return 10 * 220 * 220 * n / (time.perf_counter() - t0) / 1e6
+
+    fast = measure(steps.g_pretrain, gstate)
+
+    # reference-form variant: stacked perception with the dead target bwd
+    import jax as _jax
+    stacked = _jax.jit(
+        lambda g, x, y, w, lr: _pretrain_stacked(steps, g, x, y, w, lr),
+        donate_argnums=(0,),
+    )
+    _, gstate2, _, _ = _setup_usss_step(batch=10)
+    slow = measure(stacked, gstate2)
+
+    print(json.dumps({
+        "metric": "usss_pretrain_throughput",
+        "value": round(fast, 3),
+        "unit": "Mpx/s",
+        "vs_baseline": round(fast / slow, 3),
+        "stacked_target_grad_mpx_s": round(slow, 3),
+    }))
+
+
+def _pretrain_stacked(steps, gstate, x, y, w, lr):
+    """g_pretrain with the old stacked-perception backward (A/B baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.train.optim import apply_updates
+    from fcdgan_tpu.train.state import NetState
+
+    cmap = jnp.zeros(x.shape[:3] + (1,), x.dtype)
+
+    def loss_fn(pg):
+        y_fake, muts = steps._g_fwd(pg, gstate.batch_stats, x)
+        gen, l1, perc, ssim = steps._cnet(y, y_fake.astype(jnp.float32), cmap, w)
+        loss = gen + steps.pw * perc + steps.sw * ssim
+        return loss, (muts["batch_stats"], gen, l1, perc, ssim)
+
+    (loss, (g_bs, gen, l1, perc, ssim)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(gstate.params)
+    params, opt = apply_updates(gstate.params, gstate.opt_state, grads,
+                                steps.tx_g, lr)
+    return NetState(params=params, batch_stats=g_bs, opt_state=opt), {
+        "NetLoss": loss}
+
+
 def bench_batch_sweep():
     """Single-chip batch sweep: Mpx/s at bs 10..80 (bounds DP efficiency
     analytically — a v5e-8 running global batch 80 is 8 chips at bs 10)."""
@@ -434,6 +505,8 @@ if __name__ == "__main__":
     ap.add_argument("--driver", action="store_true",
                     help="real-driver joint-phase epochs/sec")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--pretrain", action="store_true",
+                    help="USSS G-pretrain step throughput + target-grad A/B")
     ap.add_argument("--batch-sweep", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=0)
@@ -449,6 +522,8 @@ if __name__ == "__main__":
         bench_inference(args.density_dtype, args.scene_px)
     elif args.driver:
         bench_driver(args.scene_px, args.epochs)
+    elif args.pretrain:
+        bench_pretrain()
     elif args.batch_sweep:
         bench_batch_sweep()
     elif args.scaling:
