@@ -28,22 +28,18 @@ def _to_host(tree):
 def save_net(path: str, state: NetState, include_opt: bool = True) -> None:
     """Save a NetState under ``path`` (an orbax directory, e.g. SModel.ckpt).
 
-    Multi-host: states are fully replicated, so process 0 writes once (the
-    pod convention — checkpoint paths live on shared storage) and a global
-    barrier keeps the other processes from racing ahead into a restore or
-    exit while the write is in flight."""
-    multiprocess = jax.process_count() > 1
-    if not multiprocess or jax.process_index() == 0:
-        payload = {"params": state.params, "batch_stats": state.batch_stats}
-        if include_opt and state.opt_state is not None:
-            payload["opt_state"] = state.opt_state
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), _to_host(payload), force=True)
-        ckptr.wait_until_finished()
-    if multiprocess:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices(f"save_net:{os.path.basename(path)}")
+    Multi-host: EVERY process must make this call — orbax's save is itself
+    collective (it runs sync_global_devices barriers internally), so gating
+    it to process 0 deadlocks/mismatches against any other barrier the rest
+    of the pod reaches. Orbax's host-array type handler already makes the
+    primary host the single writer for the replicated state, which is the
+    write-once behavior wanted on shared storage."""
+    payload = {"params": state.params, "batch_stats": state.batch_stats}
+    if include_opt and state.opt_state is not None:
+        payload["opt_state"] = state.opt_state
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), _to_host(payload), force=True)
+    ckptr.wait_until_finished()
 
 
 def restore_net(path: str, template: NetState) -> NetState:
