@@ -506,6 +506,9 @@ class RSSSSteps:
             {"params": pg, "batch_stats": bs_}, x_, train=True,
             mutable=["batch_stats"]))
         self._cgen_ck = ck(self._cgen)
+        # G-pretrain variant: mask is the region raster (data), so the
+        # perception target branch is gradient-dead (see losses.perception_loss)
+        self._cgen_ck_pre = ck(functools.partial(self._cgen, target_grad=False))
         self.interior = jnp.asarray(interior_sizes, jnp.int32)
         self.test_interior = (
             jnp.asarray(test_interior_sizes, jnp.int32)

@@ -123,7 +123,7 @@ def main_driver_wsss(pid: int, port: int, work_dir: str) -> None:
         out_g_model_dir=os.path.join(d, "GModel"),
         init_num_epochs_g=1, num_epochs=1, batch_size=3, unc_batch_size=4,
         msssim_weights=(0.5, 0.5), log_tensorboard=False, progress=False,
-        save_checkpoints=False,  # per-process dirs; process-0-only saves
+        save_checkpoints=False,  # saves covered by the USSS/RSSS workers
         coordinator_address=f"localhost:{port}", num_processes=2,
         process_id=pid,
     )
@@ -135,9 +135,39 @@ def main_driver_wsss(pid: int, port: int, work_dir: str) -> None:
     print(f"RESULT {f1:.8f} {n_maps}", flush=True)
 
 
+def main_driver_rsss(pid: int, port: int, work_dir: str) -> None:
+    """Full RSSS driver two-process: multi-scene OSCD dataset, region-masked
+    G pretrain, adversarial steps, per-epoch test eval, per-(filter, scene)
+    stitched writers through the allgather download path, checkpoint saves
+    through the collective orbax path."""
+    from fcdgan_tpu.config import RSSSConfig
+    from fcdgan_tpu.data.synthetic import make_oscd_dataset
+    from fcdgan_tpu.demos.demo_rsss import run
+
+    d = os.path.join(work_dir, f"p{pid}", "oscd")
+    os.makedirs(d, exist_ok=True)
+    make_oscd_dataset(d, train_scenes=("alpha",), test_scenes=("gamma",),
+                      xsize=64, ysize=64, seed=11)
+    cfg = RSSSConfig(
+        img_dir=d, out_g_model_dir=os.path.join(d, "GModel"),
+        init_num_epochs_g=1, num_epochs=1, init_batch_size=4, batch_size=3,
+        patch_size=(40, 40), overlap_padding=(4, 4),
+        msssim_weights=(0.5, 0.5), log_tensorboard=False, progress=False,
+        ext="_mh",
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    out = run(cfg)
+    f1 = out["evaluator"].Pixel_F1_score()
+    density = os.path.join(d, "gamma", "ImagePair", "density_mh")
+    print(f"RESULT {f1:.8f} {density}", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 4 and sys.argv[4] == "wsss":
         main_driver_wsss(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 4 and sys.argv[4] == "rsss":
+        main_driver_rsss(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
     elif len(sys.argv) > 3:
         main_driver(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
     else:

@@ -158,6 +158,44 @@ def test_two_process_usss_driver_end_to_end(tmp_path):
                                results[0][0], atol=1e-6)
 
 
+def test_two_process_rsss_driver_end_to_end(tmp_path):
+    """Full RSSS driver across two processes: multi-scene stitched writers,
+    per-epoch test eval, and checkpoint saves through the collective orbax
+    path (the regression surface of the process-0-gated-save bug)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_ROOT, "tests", "multihost_worker.py"),
+             str(pid), str(port), str(tmp_path), "rsss"],
+            env=env, cwd=_ROOT, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rsss worker failed:\n{err[-4000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, f1, density_path = line.split(maxsplit=2)
+        results.append((float(f1), density_path))
+
+    from fcdgan_tpu.data.tiff import TiffReader
+
+    d0 = TiffReader(results[0][1]).read_block()
+    d1 = TiffReader(results[1][1]).read_block()
+    np.testing.assert_array_equal(d0, d1)
+    assert results[0][0] == results[1][0]
+    assert np.isfinite(results[0][0])
+
+
 def test_two_process_wsss_driver_end_to_end(tmp_path):
     """Full WSSS driver across two processes: pair batches, adversarial
     steps, PNG eval maps via the allgather download, identical metrics."""
