@@ -1,9 +1,11 @@
 """Assemble PARITY_E2E.md from the reference/rebuild result JSONs.
 
 Usage: python compare.py <results_dir> <out_md>
-Expects reference_{a,b,c}.json plus rebuild_{a,b,c}.json (production TPU
-config) and/or rebuild_parity_{a,b,c}.json (f32 + per-branch BN numerics
-mode) in results_dir; missing files render as em-dashes.
+USSS: expects reference_{a,b,c}.json plus rebuild_{a,b,c}.json (production
+TPU config) and/or rebuild_parity_{a,b,c}.json (f32 + per-branch BN
+numerics mode) in results_dir; missing files render as em-dashes.
+WSSS/RSSS: expects {mode}_reference.json / {mode}_rebuild_parity.json /
+{mode}_rebuild.json; sections are omitted while absent.
 """
 
 import json
@@ -138,9 +140,96 @@ def main(results_dir, out_md):
         lines.append(f"| {s} | " + " | ".join(cells) + " |")
     lines.append("")
 
+    lines += render_mode_sections(results_dir)
+
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print("wrote", out_md)
+
+
+MODE_BLURB = {
+    "wsss": (
+        "## WSSS head-to-head (Demo_WSSS: weakly-supervised, full GAN)",
+        "Synthetic WHU-style slice dataset (data.synthetic.make_whu_dataset,",
+        "12x 200px slices, 6 changed / 6 unchanged), same schedule both",
+        "sides (G-pretrain / adversarial epochs below), reference exec'd",
+        "unmodified through the shims. Final = the reference's",
+        "train-mode-BN inference over the changed set (Demo_WSSS.py:389-442",
+        "semantics on both sides).",
+    ),
+    "rsss": (
+        "## RSSS head-to-head (Demo_RSSS: regional-supervised, OSCD-style)",
+        "Synthetic OSCD-style ENVI scenes (data.synthetic.make_oscd_dataset,",
+        "256x256x4, train scene 'alpha', test scene 'gamma'), shared",
+        "per-scene statsMS caches, same schedule both sides. Final = the",
+        "stitched test-scene inference metrics.",
+    ),
+}
+
+
+def render_mode_sections(results_dir):
+    """WSSS/RSSS sections: final + trajectory + wall clock per mode."""
+    lines = []
+    for mode in ("wsss", "rsss"):
+        streams = [
+            (n, load(os.path.join(results_dir, f"{mode}_{f}.json")))
+            for n, f in (("reference", "reference"),
+                         ("rebuild", "rebuild"),
+                         ("rebuild-parity", "rebuild_parity"))
+        ]
+        streams = [(n, r) for n, r in streams if r]
+        if not any(n == "reference" for n, _ in streams):
+            continue
+        ref = dict(streams)["reference"]
+        lines += list(MODE_BLURB[mode]) + [""]
+        eg, eadv = ref["epochs"][0], ref["epochs"][1]
+        lines.append(f"Schedule: {eg} G-pretrain + {eadv} adversarial epochs.")
+        lines.append("")
+        lines.append("### Final metrics")
+        lines.append("")
+        lines.append("| framework | " + " | ".join(k.upper() for k in KEYS) + " |")
+        lines.append("|" + "---|" * (len(KEYS) + 1))
+        for n, r in streams:
+            f = r.get("final") or {}
+            lines.append(f"| {n} | " + " | ".join(fmt(f.get(k)) for k in KEYS) + " |")
+        lines.append("")
+        lines.append("### Per-epoch F1 trajectory (adversarial phase)")
+        lines.append("")
+        lines.append("| epoch | " + " | ".join(f"{n} F1 | {n} kappa" for n, _ in streams) + " |")
+        lines.append("|" + "---|" * (1 + 2 * len(streams)))
+        tr = [t for t in ref["trajectory"] if t["of"] == eadv]
+        cols = {n: [t for t in r["trajectory"] if t["of"] == eadv] for n, r in streams}
+        for i in range(0, len(tr), max(1, len(tr) // 10)):
+            e = tr[i]["epoch"]
+            cells = []
+            for n, _ in streams:
+                b = next((t for t in cols[n] if t["epoch"] == e), None)
+                cells.append(fmt(b and b["f1"]))
+                cells.append(fmt(b and b["kappa"]))
+            lines.append(f"| {e} | " + " | ".join(cells) + " |")
+        lines.append("")
+        if mode == "rsss" and any(r.get("test_trajectory") for _, r in streams):
+            lines.append("### Per-epoch TEST-scene F1 (RSSS evaluates test each epoch)")
+            lines.append("")
+            lines.append("| epoch | " + " | ".join(f"{n} test F1" for n, _ in streams) + " |")
+            lines.append("|" + "---|" * (1 + len(streams)))
+            ntest = len(ref.get("test_trajectory") or [])
+            for i in range(0, ntest, max(1, ntest // 10)):
+                cells = []
+                for n, r in streams:
+                    tt = r.get("test_trajectory") or []
+                    cells.append(fmt(tt[i]["f1"] if i < len(tt) else None))
+                lines.append(f"| {i + 1} | " + " | ".join(cells) + " |")
+            lines.append("")
+        lines.append("### Wall clock")
+        lines.append("")
+        lines.append("| framework | minutes |")
+        lines.append("|---|---|")
+        for n, r in streams:
+            w = r.get("wall_s")
+            lines.append(f"| {n} | " + (f"{w / 60:.1f}" if w else "—") + " |")
+        lines.append("")
+    return lines
 
 
 if __name__ == "__main__":

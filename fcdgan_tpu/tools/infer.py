@@ -1,0 +1,221 @@
+"""Standalone stitched inference from a saved SModel checkpoint.
+
+The reference has no inference-only entry point — deploying a trained
+model means re-running a Demo script with its training loop edited out.
+This tool is the serving path: load ``SModel*.ckpt`` (saved by any of the
+three drivers, io/checkpoint.py::save_net), run the eval-mode segmentor
+over an arbitrary bi-temporal raster pair with the overlap-tiled grid
+(parity: /root/reference/data_utils.py:57-63,154-176), and stitch the
+change-density GeoTIFF (+ optional {TN,FN,FP,TP} color raster and metrics
+when a reference raster is given — Demo_USSS.py:404-473 semantics).
+
+Run:
+  python -m fcdgan_tpu.tools.infer --dir /data --smodel /runs/SModel_r1.ckpt \
+      [--ref-name ref.tif] [--density-dtype uint8] [--platform cpu]
+
+Normalization stats are read from (or computed into) the same
+``{image}_{stats}.txt`` caches the drivers use, so a pair already
+prepared for training serves unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class InferConfig:
+    dir: str = "."
+    smodel: str = ""                    # path to SModel*.ckpt (required)
+    image_x_name: str = "T1.tif"
+    image_y_name: str = "T2.tif"
+    ref_name: str = ""                  # optional: enables metrics + color map
+    outdir: str = ""                    # default: dir
+    cmap_name: str = "ChangeDensity"
+    ext: str = ""
+    stats_name: str = "stats"
+    patch_size: Tuple[int, int] = (220, 220)
+    overlap_padding: Tuple[int, int] = (10, 10)
+    batch_size: int = 10
+    gt_map: Tuple[int, int] = (1, 2)
+    pre_map: Tuple[int, int] = (0, 1)
+    prob_thresh: float = 0.5
+    write_color: bool = True
+    bilinear: bool = True
+    platform: Optional[str] = None
+    compute_dtype: str = "bfloat16"     # serving default; 'float32' for parity
+    siamese_stats: str = "joint"        # must match the checkpoint's training
+    density_dtype: str = "float32"      # uint8/bfloat16 = quantized download
+    transfer_dtype: str = ""            # e.g. 'bfloat16': halve upload bytes
+    prefetch_depth: int = 2
+    n_devices: int = 0                  # data-parallel tiles over a mesh
+    progress: bool = True
+
+
+def run(cfg: InferConfig) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    from ..data.datasets import ScenePairDataset
+    from ..data.normalize import Normalize
+    from ..data.raster import create_raster
+    from ..data.stats import dataset_meanstd
+    from ..eval.changemap import write_changemap_gdal
+    from ..eval.evaluator import Evaluator
+    from ..eval.inference import quantized_infer, run_overlapped
+    from ..eval.roc import RocCurve
+    from ..data.pipeline import BatchLoader, prefetch
+    from ..io.checkpoint import restore_net
+    from ..models import Segmentor
+    from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+    from ..train.state import create_net_state
+    from ..utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    if not cfg.smodel:
+        raise SystemExit("--smodel <SModel.ckpt> is required")
+    outdir = cfg.outdir or cfg.dir
+    os.makedirs(outdir, exist_ok=True)
+    img_x = os.path.join(cfg.dir, cfg.image_x_name)
+    img_y = os.path.join(cfg.dir, cfg.image_y_name)
+    ref_path = os.path.join(cfg.dir, cfg.ref_name) if cfg.ref_name else None
+    stem1, ext1 = os.path.splitext(cfg.image_x_name)
+    stem2, _ = os.path.splitext(cfg.image_y_name)
+    cmap_name = "{}{}".format(cfg.cmap_name, cfg.ext)
+    out_path = os.path.join(outdir, cmap_name + ext1)
+    out_color_path = os.path.join(outdir, "{}_acc_color{}".format(cmap_name, ext1))
+
+    # -- normalizer from the shared stats caches ----------------------------
+    stats_ds = ScenePairDataset(img_x, img_y, patch_size=cfg.patch_size,
+                                overlap_padding=(0, 0))
+    sp1 = os.path.join(cfg.dir, "{}_{}.txt".format(stem1, cfg.stats_name))
+    sp2 = os.path.join(cfg.dir, "{}_{}.txt".format(stem2, cfg.stats_name))
+    mean_x, std_x, mean_y, std_y = dataset_meanstd(sp1, sp2, stats_ds)
+    scaler = Normalize(mean_x, std_x, mean_y, std_y)
+
+    dataset = ScenePairDataset(img_x, img_y, ref_path=ref_path, out_path=out_path,
+                               enhance=scaler, patch_size=cfg.patch_size,
+                               overlap_padding=cfg.overlap_padding)
+    total = len(dataset)
+    nband = dataset.size()[2]
+
+    # -- restore the segmentor ----------------------------------------------
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
+                      siamese_stats=cfg.siamese_stats)
+    zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
+    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
+    sstate = restore_net(cfg.smodel, template)
+
+    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+    if mesh is not None:
+        sstate = replicate_state(sstate, mesh)
+
+    def put(batch):
+        return shard_batch(batch, mesh) if mesh is not None else batch
+
+    infer = jax.jit(lambda st, x, y: net_s.apply(
+        st.variables, x, y, train=False).astype(jnp.float32))
+    infer_q, dequant = quantized_infer(infer, cfg.density_dtype)
+
+    fields = ("x", "y", "item", "ref") if ref_path else ("x", "y", "item")
+    loader = BatchLoader(dataset, cfg.batch_size, fields=fields, shuffle=False)
+
+    acc = Evaluator(num_class=len(cfg.gt_map)) if ref_path else None
+    roc = RocCurve() if ref_path else None
+    out_color = None
+    processed = 0
+    pixels = 0
+    interior = dataset.interior_sizes()
+    tdt = np.dtype(cfg.transfer_dtype) if cfg.transfer_dtype else None
+    t0 = time.perf_counter()
+
+    def compute(batch):
+        nonlocal pixels
+        db = put(batch)
+        bx, by = db["x"], db["y"]
+        if tdt is not None:
+            bx = np.asarray(bx).astype(tdt)
+            by = np.asarray(by).astype(tdt)
+        for ns in range(len(batch["item"])):
+            if batch["weight"][ns] > 0:
+                ch, cw = interior[int(batch["item"][ns])]
+                pixels += int(ch) * int(cw)
+        return infer_q(sstate, bx, by)
+
+    def process(cmap_dev, batch):
+        nonlocal out_color, processed
+        cmap = dequant(cmap_dev)
+        cmask = (cmap > cfg.prob_thresh).astype(np.int16)
+        for ns in range(len(batch["weight"])):
+            if batch["weight"][ns] == 0:
+                continue
+            item = int(batch["item"][ns])
+            dataset.write_default(cmap[ns], item)
+            if acc is not None:
+                ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+                cmask_chw = np.moveaxis(cmask[ns], -1, 0)
+                if cfg.write_color:
+                    if out_color is None:
+                        xs, ys, _ = dataset.size()
+                        out_color = create_raster(out_color_path, xs, ys, 1,
+                                                  np.int32, like=dataset.raster_x)
+                    codes = write_changemap_gdal(
+                        cmask_chw, ref_chw, write_color=True,
+                        ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+                    dataset.write(np.moveaxis(codes, 0, -1).astype(np.int32),
+                                  item, out_color)
+                y0, y1, x0, x1 = dataset.grid.interior(item)
+                acc.add_batch_map(
+                    ref_chw[0, y0:y1, x0:x1].astype(np.int16),
+                    cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
+                    list(cfg.gt_map), list(cfg.pre_map))
+                roc.add_batch(cmap[ns, y0:y1, x0:x1, 0],
+                              (ref_chw[0, y0:y1, x0:x1] == cfg.gt_map[1]))
+        processed += int(np.asarray(batch["weight"]).sum())
+        if cfg.progress:
+            print("\rProcessing batch: {}/{}".format(processed, total),
+                  end="", flush=True)
+
+    run_overlapped(prefetch(iter(loader), cfg.prefetch_depth), compute, process)
+    seconds = time.perf_counter() - t0
+    if cfg.progress:
+        print("\r", end="", flush=True)
+    dataset.close_outputs()
+    if out_color is not None and hasattr(out_color, "close"):
+        out_color.close()
+
+    out = {
+        "density_path": out_path,
+        "color_path": out_color_path if (acc is not None and cfg.write_color) else None,
+        "pixels": pixels,
+        "seconds": seconds,
+        "px_per_s": pixels / max(seconds, 1e-9),
+    }
+    if acc is not None:
+        miou, ciou = acc.Mean_Intersection_over_Union()
+        out.update(oa=acc.Pixel_Accuracy(), kappa=acc.Pixel_Kappa(),
+                   precision=acc.Pixel_Precision_Rate(),
+                   recall=acc.Pixel_Recall_Rate(), f1=acc.Pixel_F1_score(),
+                   miou=miou, ciou=ciou, auc=roc.auc())
+        out["evaluator"] = acc
+    print(json.dumps({k: v for k, v in out.items() if k != "evaluator"}))
+    return out
+
+
+def main(argv=None):
+    from ..config import parse_cli
+
+    run(parse_cli(InferConfig, argv))
+
+
+if __name__ == "__main__":
+    main()

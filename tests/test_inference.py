@@ -84,3 +84,52 @@ def test_run_overlapped_order_and_errors():
         assert str(e) == "boom"
     else:
         raise AssertionError("error not propagated")
+
+
+def test_infer_tool_from_checkpoint(tmp_path):
+    """tools/infer.py: serving path — restore SModel.ckpt, stitch, report."""
+    from fcdgan_tpu.io.checkpoint import save_net
+    from fcdgan_tpu.tools.infer import InferConfig, run as run_infer
+
+    d = str(tmp_path / "scene")
+    make_usss_scene(d, 96, 80, 3)
+
+    model = Segmentor(3, bilinear=True)
+    zx = jnp.zeros((1, 48, 48, 3))
+    sstate = create_net_state(model, jax.random.PRNGKey(0), (zx, zx), adam())
+    ckpt = str(tmp_path / "SModel_t.ckpt")
+    save_net(ckpt, sstate, include_opt=False)
+
+    cfg = InferConfig(dir=d, smodel=ckpt, ref_name="ref.tif",
+                      patch_size=(48, 48), overlap_padding=(4, 4),
+                      batch_size=4, compute_dtype="float32", progress=False)
+    res = run_infer(cfg)
+
+    # density equals the direct eval-mode forward stitched sequentially
+    infer = jax.jit(lambda st, x, y: model.apply(st.variables, x, y, train=False))
+    sp1 = str(tmp_path / "seq.tif")
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.stats import dataset_meanstd
+    import os as _os
+    stats_ds = ScenePairDataset(_os.path.join(d, "T1.tif"), _os.path.join(d, "T2.tif"),
+                                patch_size=(48, 48), overlap_padding=(0, 0))
+    mx, sx, my, sy = dataset_meanstd(str(tmp_path / "s1.txt"), str(tmp_path / "s2.txt"),
+                                     stats_ds)
+    ds_b = ScenePairDataset(_os.path.join(d, "T1.tif"), _os.path.join(d, "T2.tif"),
+                            out_path=sp1, enhance=Normalize(mx, sx, my, sy),
+                            patch_size=(48, 48), overlap_padding=(4, 4))
+    for item in range(len(ds_b)):
+        x, y, _, _ = ds_b[item]
+        ds_b.write_default(np.asarray(infer(sstate, x[None], y[None]))[0], item)
+    ds_b.close_outputs()
+
+    a = TiffReader(res["density_path"]).read_block()
+    b = TiffReader(sp1).read_block()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # color raster + full metric set present
+    import os
+    assert os.path.exists(res["color_path"])
+    for k in ("oa", "kappa", "precision", "recall", "f1", "miou", "ciou", "auc"):
+        assert k in res
+    assert res["pixels"] == 96 * 80 and res["px_per_s"] > 0
