@@ -31,10 +31,20 @@ import numpy as np
 
 @dataclasses.dataclass
 class InferConfig:
+    mode: str = "scene"                 # 'scene' (raster pair) | 'whu' (slice set)
     dir: str = "."
     smodel: str = ""                    # path to SModel*.ckpt (required)
     image_x_name: str = "T1.tif"
     image_y_name: str = "T2.tif"
+    # -- whu mode (slice dataset, PNG outputs; Demo_WSSS.py:387-445) --------
+    img_dir_x: str = ""
+    img_dir_y: str = ""
+    ref_dir: str = ""
+    label_dir: str = ""
+    label_selected: str = "1"           # '1' changed / '0' unchanged / '-1' listed / '-2' all
+    write_grey: bool = True             # per-slice density PNGs (cmap*255)
+    bn_mode: str = "eval"               # 'train' = reference's intentional
+                                        # train-mode-BN inference quirk
     ref_name: str = ""                  # optional: enables metrics + color map
     outdir: str = ""                    # default: dir
     cmap_name: str = "ChangeDensity"
@@ -64,6 +74,8 @@ def run(cfg: InferConfig) -> Dict:
 
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    if cfg.mode == "whu":
+        return run_whu(cfg)
     from ..data.datasets import ScenePairDataset
     from ..data.normalize import Normalize
     from ..data.raster import create_raster
@@ -208,6 +220,124 @@ def run(cfg: InferConfig) -> Dict:
                    miou=miou, ciou=ciou, auc=roc.auc())
         out["evaluator"] = acc
     print(json.dumps({k: v for k, v in out.items() if k != "evaluator"}))
+    return out
+
+
+def run_whu(cfg: InferConfig) -> Dict:
+    """Serve a WSSS checkpoint over a WHU slice set (PNG outputs).
+
+    Mirrors the reference's final-inference block (Demo_WSSS.py:387-445):
+    per-slice eval map via write_changemap (FN blue / FP red / TP white)
+    plus optional grayscale density PNG. ``bn_mode='train'`` replicates the
+    reference's intentional train-mode-BN inference ("train mode gets
+    better performance", Demo_WSSS.py:389-391); the serving default 'eval'
+    uses the checkpoint's running stats."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..data.datasets import WHUDataset
+    from ..data.normalize import Normalize
+    from ..data.pipeline import BatchLoader, prefetch
+    from ..data.stats import dataset_meanstd
+    from ..eval.changemap import write_changemap
+    from ..eval.evaluator import Evaluator
+    from ..eval.inference import run_overlapped
+    from ..io.checkpoint import restore_net
+    from ..models import Segmentor
+    from ..train.state import create_net_state
+    from ..utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    if not cfg.smodel:
+        raise SystemExit("--smodel <SModel.ckpt> is required")
+    if not (cfg.img_dir_x and cfg.img_dir_y and cfg.label_dir):
+        raise SystemExit("whu mode needs --img-dir-x/--img-dir-y/--label-dir")
+    out_dir = cfg.outdir or os.path.join(
+        cfg.label_dir, "Detection_serve{}".format(cfg.ext))
+    os.makedirs(out_dir, exist_ok=True)
+    out_density_dir = out_dir + "_Density"
+    if cfg.write_grey:
+        os.makedirs(out_density_dir, exist_ok=True)
+
+    # same stats caches the WSSS driver writes/reads (Demo_WSSS.py:70-78)
+    stats_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir,
+                          cfg.label_dir, "-1")
+    sp1 = os.path.join(cfg.img_dir_x, "{}_meanstd.txt".format(cfg.stats_name))
+    sp2 = os.path.join(cfg.img_dir_y, "{}_meanstd.txt".format(cfg.stats_name))
+    mean_x, std_x, mean_y, std_y = dataset_meanstd(sp1, sp2, stats_ds)
+    scaler = Normalize(mean_x, std_x, mean_y, std_y)
+
+    ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
+                    scale=scaler, label_selected=cfg.label_selected)
+    x0 = ds[0][0]
+    h, w, nband = x0.shape
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
+                      siamese_stats=cfg.siamese_stats)
+    zx = np.zeros((1, h, w, nband), np.float32)
+    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
+    sstate = restore_net(cfg.smodel, template)
+
+    if cfg.bn_mode == "train":
+        def fwd(st, x, y):
+            out, mut = net_s.apply(st.variables, x, y, train=True,
+                                   mutable=["batch_stats"])
+            return out.astype(jnp.float32), st.replace(batch_stats=mut["batch_stats"])
+        infer_train = jax.jit(fwd)
+    else:
+        infer = jax.jit(lambda st, x, y: net_s.apply(
+            st.variables, x, y, train=False).astype(jnp.float32))
+
+    loader = BatchLoader(ds, cfg.batch_size,
+                         fields=("x", "y", "ref", "item", "label"), shuffle=False)
+    acc = Evaluator(num_class=2)
+    pixels = 0
+    t0 = time.perf_counter()
+
+    def compute(batch):
+        nonlocal sstate, pixels
+        pixels += h * w * int(np.asarray(batch["weight"]).sum())
+        if cfg.bn_mode == "train":
+            cmap_dev, sstate = infer_train(sstate, batch["x"], batch["y"])
+            return cmap_dev
+        return infer(sstate, batch["x"], batch["y"])
+
+    def process(cmap_dev, batch):
+        cmap = np.asarray(cmap_dev)
+        cmask = (cmap > cfg.prob_thresh).astype(np.int16)
+        for ns in range(len(batch["weight"])):
+            if batch["weight"][ns] == 0:
+                continue
+            item = int(batch["item"][ns])
+            change_mask = cmask[ns, :, :, 0]
+            ref_mask = batch["ref"][ns][:, :, 0]
+            acc.add_batch(ref_mask.astype(np.int16), change_mask)
+            change_write = write_changemap(change_mask, ref_mask, cfg.write_color)
+            if cfg.write_grey:
+                Image.fromarray(np.uint8(cmap[ns, :, :, 0] * 255)).save(
+                    os.path.join(out_density_dir, ds.get_file_name(item)))
+            if change_write.ndim == 3:
+                change_write = change_write.transpose((1, 2, 0))
+            Image.fromarray(np.uint8(change_write)).save(
+                os.path.join(out_dir, ds.get_file_name(item)))
+
+    run_overlapped(prefetch(iter(loader), cfg.prefetch_depth), compute, process)
+    seconds = time.perf_counter() - t0
+    miou, ciou = acc.Mean_Intersection_over_Union()
+    out = {
+        "out_dir": out_dir,
+        "density_dir": out_density_dir if cfg.write_grey else None,
+        "pixels": pixels, "seconds": seconds,
+        "px_per_s": pixels / max(seconds, 1e-9),
+        "oa": acc.Pixel_Accuracy(), "kappa": acc.Pixel_Kappa(),
+        "precision": acc.Pixel_Precision_Rate(),
+        "recall": acc.Pixel_Recall_Rate(), "f1": acc.Pixel_F1_score(),
+        "miou": miou, "ciou": ciou,
+    }
+    print(json.dumps(out))
+    out["evaluator"] = acc
     return out
 
 

@@ -133,3 +133,47 @@ def test_infer_tool_from_checkpoint(tmp_path):
     for k in ("oa", "kappa", "precision", "recall", "f1", "miou", "ciou", "auc"):
         assert k in res
     assert res["pixels"] == 96 * 80 and res["px_per_s"] > 0
+
+
+def test_infer_tool_whu_mode(tmp_path):
+    """tools/infer.py --mode whu: serve a WSSS checkpoint over a slice set."""
+    from fcdgan_tpu.data.synthetic import make_whu_dataset
+    from fcdgan_tpu.io.checkpoint import save_net
+    from fcdgan_tpu.tools.infer import InferConfig, run as run_infer
+
+    d = str(tmp_path / "whu")
+    make_whu_dataset(d, n_changed=3, n_unchanged=3, size=48, seed=0)
+
+    model = Segmentor(3, bilinear=True)
+    zx = jnp.zeros((1, 48, 48, 3))
+    sstate = create_net_state(model, jax.random.PRNGKey(0), (zx, zx), adam())
+    ckpt = str(tmp_path / "SModel_w.ckpt")
+    save_net(ckpt, sstate, include_opt=False)
+
+    import os
+    cfg = InferConfig(mode="whu", smodel=ckpt,
+                      img_dir_x=os.path.join(d, "before"),
+                      img_dir_y=os.path.join(d, "after"),
+                      ref_dir=os.path.join(d, "Label"), label_dir=d,
+                      outdir=str(tmp_path / "serve_out"),
+                      batch_size=2, compute_dtype="float32", progress=False)
+    res = run_infer(cfg)
+
+    # per-slice PNG eval + density maps for every CHANGED slice
+    outs = sorted(os.listdir(res["out_dir"]))
+    dens = sorted(os.listdir(res["density_dir"]))
+    assert len(outs) == 3 and len(dens) == 3
+    for k in ("oa", "kappa", "precision", "recall", "f1", "miou", "ciou"):
+        assert k in res
+    assert res["pixels"] == 3 * 48 * 48
+
+    # train-mode BN variant (the reference's quirk) also runs
+    cfg2 = dataclasses_replace(cfg, bn_mode="train",
+                               outdir=str(tmp_path / "serve_out_train"))
+    res2 = run_infer(cfg2)
+    assert len(os.listdir(res2["out_dir"])) == 3
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
