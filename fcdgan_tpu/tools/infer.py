@@ -13,6 +13,11 @@ Run:
   python -m fcdgan_tpu.tools.infer --dir /data --smodel /runs/SModel_r1.ckpt \
       [--ref-name ref.tif] [--density-dtype uint8] [--platform cpu]
 
+Modes: ``scene`` (one raster pair, above), ``whu`` (WSSS slice set ->
+per-slice PNG eval/density maps, Demo_WSSS.py:387-445), ``oscd`` (RSSS
+multi-scene layout -> per-scene stitched density/color rasters,
+Demo_RSSS.py:449-504).
+
 Normalization stats are read from (or computed into) the same
 ``{image}_{stats}.txt`` caches the drivers use, so a pair already
 prepared for training serves unchanged.
@@ -32,10 +37,15 @@ import numpy as np
 @dataclasses.dataclass
 class InferConfig:
     mode: str = "scene"                 # 'scene' (raster pair) | 'whu' (slice set)
+                                        # | 'oscd' (multi-scene RSSS layout)
     dir: str = "."
     smodel: str = ""                    # path to SModel*.ckpt (required)
     image_x_name: str = "T1.tif"
     image_y_name: str = "T2.tif"
+    # -- oscd mode (multi-scene layout; Demo_RSSS.py:449-504) ----------------
+    txt_name: str = "test.txt"          # one-line comma-separated scene list
+    out_name_density: str = "density_serve"
+    out_name_binary: str = "color_serve"
     # -- whu mode (slice dataset, PNG outputs; Demo_WSSS.py:387-445) --------
     img_dir_x: str = ""
     img_dir_y: str = ""
@@ -49,7 +59,8 @@ class InferConfig:
     outdir: str = ""                    # default: dir
     cmap_name: str = "ChangeDensity"
     ext: str = ""
-    stats_name: str = "stats"
+    stats_name: str = ""                # '' = per-mode driver default:
+                                        # 'stats' (scene/whu), 'statsMS' (oscd)
     patch_size: Tuple[int, int] = (220, 220)
     overlap_padding: Tuple[int, int] = (10, 10)
     batch_size: int = 10
@@ -74,8 +85,13 @@ def run(cfg: InferConfig) -> Dict:
 
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    if not cfg.stats_name:
+        cfg = dataclasses.replace(
+            cfg, stats_name="statsMS" if cfg.mode == "oscd" else "stats")
     if cfg.mode == "whu":
         return run_whu(cfg)
+    if cfg.mode == "oscd":
+        return run_oscd(cfg)
     from ..data.datasets import ScenePairDataset
     from ..data.normalize import Normalize
     from ..data.raster import create_raster
@@ -335,6 +351,134 @@ def run_whu(cfg: InferConfig) -> Dict:
         "precision": acc.Pixel_Precision_Rate(),
         "recall": acc.Pixel_Recall_Rate(), "f1": acc.Pixel_F1_score(),
         "miou": miou, "ciou": ciou,
+    }
+    print(json.dumps(out))
+    out["evaluator"] = acc
+    return out
+
+
+def run_oscd(cfg: InferConfig) -> Dict:
+    """Serve an RSSS checkpoint over a prepared OSCD multi-scene layout.
+
+    Mirrors the reference's final-inference block (Demo_RSSS.py:449-504):
+    per-scene stitched density + {TN,FN,FP,TP} color rasters written into
+    each scene's ``ImagePair/`` dir, metrics over the tile interiors
+    (EffRange). Scene list comes from ``--txt-name`` (default test.txt);
+    normalization reuses the same per-scene ``*_statsMS.txt`` caches the
+    RSSS driver writes, so a trained layout serves unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.datasets import OSCDDataset
+    from ..data.pipeline import BatchLoader, prefetch
+    from ..demos.demo_rsss import _scene_scalers
+    from ..eval.changemap import write_changemap_gdal
+    from ..eval.evaluator import Evaluator
+    from ..eval.inference import quantized_infer, run_overlapped
+    from ..eval.roc import RocCurve
+    from ..io.checkpoint import restore_net
+    from ..models import Segmentor
+    from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+    from ..train.state import create_net_state
+    from ..utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    if not cfg.smodel:
+        raise SystemExit("--smodel <SModel.ckpt> is required")
+    scalers = _scene_scalers(cfg.dir, cfg.txt_name, cfg.patch_size, cfg.stats_name)
+    dataset = OSCDDataset(cfg.dir, cfg.txt_name, scaler=scalers,
+                          patch_size=cfg.patch_size,
+                          overlap_padding=cfg.overlap_padding)
+    total = len(dataset)
+    nband = dataset.dslist[0].ds.size()[2]
+    density_name = "{}{}".format(cfg.out_name_density, cfg.ext)
+    color_name = "{}{}".format(cfg.out_name_binary, cfg.ext)
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
+                      siamese_stats=cfg.siamese_stats)
+    zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
+    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
+    sstate = restore_net(cfg.smodel, template)
+
+    mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+    if mesh is not None:
+        sstate = replicate_state(sstate, mesh)
+
+    infer = jax.jit(lambda st, x, y: net_s.apply(
+        st.variables, x, y, train=False).astype(jnp.float32))
+    infer_q, dequant = quantized_infer(infer, cfg.density_dtype)
+
+    def make_loader():
+        try:
+            from ..data.pipeline import NativeOSCDBatchLoader
+
+            return NativeOSCDBatchLoader(dataset, cfg.batch_size, shuffle=False)
+        except Exception:
+            return BatchLoader(dataset, cfg.batch_size,
+                               fields=("x", "y", "item", "ref", "region"),
+                               shuffle=False)
+
+    acc = Evaluator(num_class=len(cfg.gt_map))
+    roc = RocCurve()
+    interior = dataset.interior_sizes()
+    processed = 0
+    pixels = 0
+    t0 = time.perf_counter()
+
+    def compute(batch):
+        nonlocal pixels
+        db = shard_batch(batch, mesh) if mesh is not None else batch
+        for ns in range(len(batch["item"])):
+            if batch["weight"][ns] > 0:
+                ch, cw = interior[int(batch["item"][ns])]
+                pixels += int(ch) * int(cw)
+        return infer_q(sstate, db["x"], db["y"])
+
+    def process(cmap_dev, batch):
+        nonlocal processed
+        cmap = dequant(cmap_dev)
+        cmask = (cmap > cfg.prob_thresh).astype(np.int16)
+        for ns in range(len(batch["weight"])):
+            if batch["weight"][ns] == 0:
+                continue
+            item = int(batch["item"][ns])
+            dataset.write(cmap[ns], item, density_name)
+            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+            cmask_chw = np.moveaxis(cmask[ns], -1, 0)
+            if cfg.write_color:
+                codes = write_changemap_gdal(
+                    cmask_chw, ref_chw, write_color=True,
+                    ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+                dataset.write(np.moveaxis(codes, 0, -1), item, color_name)
+            y0, y1, x0, x1 = dataset.eff_range(item)
+            acc.add_batch_map(ref_chw[0, y0:y1, x0:x1].astype(np.int16),
+                              cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
+                              list(cfg.gt_map), list(cfg.pre_map))
+            roc.add_batch(cmap[ns, y0:y1, x0:x1, 0],
+                          (ref_chw[0, y0:y1, x0:x1] == cfg.gt_map[1]))
+        processed += int(np.asarray(batch["weight"]).sum())
+        if cfg.progress:
+            print("\rProcessing batch: {}/{}".format(processed, total),
+                  end="", flush=True)
+
+    run_overlapped(prefetch(iter(make_loader()), cfg.prefetch_depth),
+                   compute, process)
+    seconds = time.perf_counter() - t0
+    if cfg.progress:
+        print("\r", end="", flush=True)
+    dataset.close_outputs()
+
+    miou, ciou = acc.Mean_Intersection_over_Union()
+    out = {
+        "scenes": dataset.namelist,
+        "density_name": density_name, "color_name": color_name,
+        "pixels": pixels, "seconds": seconds,
+        "px_per_s": pixels / max(seconds, 1e-9),
+        "oa": acc.Pixel_Accuracy(), "kappa": acc.Pixel_Kappa(),
+        "precision": acc.Pixel_Precision_Rate(),
+        "recall": acc.Pixel_Recall_Rate(), "f1": acc.Pixel_F1_score(),
+        "miou": miou, "ciou": ciou, "auc": roc.auc(),
     }
     print(json.dumps(out))
     out["evaluator"] = acc

