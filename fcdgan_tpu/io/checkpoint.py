@@ -42,6 +42,12 @@ def save_net(path: str, state: NetState, include_opt: bool = True) -> None:
     ckptr.wait_until_finished()
 
 
+def _graft(tpl_tree, raw_tree):
+    treedef = jax.tree.structure(tpl_tree)
+    leaves = jax.tree.leaves(raw_tree)
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def restore_net(path: str, template: NetState) -> NetState:
     """Restore into the shape of ``template`` (opt_state optional on disk).
 
@@ -53,17 +59,30 @@ def restore_net(path: str, template: NetState) -> NetState:
     ckptr = ocp.PyTreeCheckpointer()
     raw = ckptr.restore(os.path.abspath(path))
 
-    def graft(tpl_tree, raw_tree):
-        treedef = jax.tree.structure(tpl_tree)
-        leaves = jax.tree.leaves(raw_tree)
-        return jax.tree.unflatten(treedef, leaves)
-
-    params = graft(template.params, raw["params"])
-    batch_stats = graft(template.batch_stats, raw["batch_stats"])
+    params = _graft(template.params, raw["params"])
+    batch_stats = _graft(template.batch_stats, raw["batch_stats"])
     opt_state = template.opt_state
     if template.opt_state is not None and "opt_state" in raw:
-        opt_state = graft(template.opt_state, raw["opt_state"])
+        opt_state = _graft(template.opt_state, raw["opt_state"])
     return NetState(params=params, batch_stats=batch_stats, opt_state=opt_state)
+
+
+def restore_net_any(path: str, template: NetState, kind: str = "") -> NetState:
+    """Restore from either an orbax ``.ckpt`` dir or a reference torch
+    ``state_dict`` pickle (``SModel/GModel/DModel*.pkl``, Demo_USSS.py:477-481),
+    auto-converted via io/torch_interop — reference users' trained pickles
+    load directly into the drivers and the serving tool."""
+    if os.path.isfile(path):  # orbax checkpoints are directories
+        import torch
+
+        from .torch_interop import torch_to_variables
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        v = torch_to_variables(sd, kind or None)
+        return NetState(params=_graft(template.params, v["params"]),
+                        batch_stats=_graft(template.batch_stats, v["batch_stats"]),
+                        opt_state=template.opt_state)
+    return restore_net(path, template)
 
 
 class TrainCheckpointer:
@@ -145,8 +164,13 @@ def model_g_reuse(
     """Generator-reuse shortcut (parity: Demo_WSSS.py:131-135).
 
     Returns (state, epochs): when enabled and the checkpoint exists, the
-    pretrained generator is loaded and the pretrain epoch count becomes 0."""
+    pretrained generator is loaded and the pretrain epoch count becomes 0.
+    A reference-trained ``GModel.pkl`` cache in the same directory is
+    honored too (converted on load via io/torch_interop)."""
     path = os.path.join(g_model_dir, name)
     if enabled and os.path.exists(path):
         return restore_net(path, template), 0
+    pkl = os.path.join(g_model_dir, os.path.splitext(name)[0] + ".pkl")
+    if enabled and os.path.isfile(pkl):
+        return restore_net_any(pkl, template, kind="generator"), 0
     return template, init_num_epochs_g

@@ -101,7 +101,7 @@ def run(cfg: InferConfig) -> Dict:
     from ..eval.inference import quantized_infer, run_overlapped
     from ..eval.roc import RocCurve
     from ..data.pipeline import BatchLoader, prefetch
-    from ..io.checkpoint import restore_net
+    from ..io.checkpoint import restore_net_any
     from ..models import Segmentor
     from ..parallel.mesh import make_mesh, replicate_state, shard_batch
     from ..train.state import create_net_state
@@ -141,7 +141,7 @@ def run(cfg: InferConfig) -> Dict:
                       siamese_stats=cfg.siamese_stats)
     zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
     template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
-    sstate = restore_net(cfg.smodel, template)
+    sstate = restore_net_any(cfg.smodel, template, kind="segmentor")
 
     mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
     if mesh is not None:
@@ -259,7 +259,7 @@ def run_whu(cfg: InferConfig) -> Dict:
     from ..eval.changemap import write_changemap
     from ..eval.evaluator import Evaluator
     from ..eval.inference import run_overlapped
-    from ..io.checkpoint import restore_net
+    from ..io.checkpoint import restore_net_any
     from ..models import Segmentor
     from ..train.state import create_net_state
     from ..utils.runtime import enable_compile_cache
@@ -294,7 +294,7 @@ def run_whu(cfg: InferConfig) -> Dict:
                       siamese_stats=cfg.siamese_stats)
     zx = np.zeros((1, h, w, nband), np.float32)
     template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
-    sstate = restore_net(cfg.smodel, template)
+    sstate = restore_net_any(cfg.smodel, template, kind="segmentor")
 
     if cfg.bn_mode == "train":
         def fwd(st, x, y):
@@ -376,7 +376,7 @@ def run_oscd(cfg: InferConfig) -> Dict:
     from ..eval.evaluator import Evaluator
     from ..eval.inference import quantized_infer, run_overlapped
     from ..eval.roc import RocCurve
-    from ..io.checkpoint import restore_net
+    from ..io.checkpoint import restore_net_any
     from ..models import Segmentor
     from ..parallel.mesh import make_mesh, replicate_state, shard_batch
     from ..train.state import create_net_state
@@ -399,7 +399,7 @@ def run_oscd(cfg: InferConfig) -> Dict:
                       siamese_stats=cfg.siamese_stats)
     zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
     template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
-    sstate = restore_net(cfg.smodel, template)
+    sstate = restore_net_any(cfg.smodel, template, kind="segmentor")
 
     mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
     if mesh is not None:
