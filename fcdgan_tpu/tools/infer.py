@@ -34,6 +34,17 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
+def _json_line(d: Dict) -> str:
+    """Strict-JSON summary: non-finite metrics (e.g. precision on an all-
+    negative reference) become null instead of bare NaN tokens."""
+    def clean(v):
+        if isinstance(v, float) and not np.isfinite(v):
+            return None
+        return v
+
+    return json.dumps({k: clean(v) for k, v in d.items() if k != "evaluator"})
+
+
 @dataclasses.dataclass
 class InferConfig:
     mode: str = "scene"                 # 'scene' (raster pair) | 'whu' (slice set)
@@ -235,7 +246,7 @@ def run(cfg: InferConfig) -> Dict:
                    recall=acc.Pixel_Recall_Rate(), f1=acc.Pixel_F1_score(),
                    miou=miou, ciou=ciou, auc=roc.auc())
         out["evaluator"] = acc
-    print(json.dumps({k: v for k, v in out.items() if k != "evaluator"}))
+    print(_json_line(out))
     return out
 
 
@@ -352,7 +363,7 @@ def run_whu(cfg: InferConfig) -> Dict:
         "recall": acc.Pixel_Recall_Rate(), "f1": acc.Pixel_F1_score(),
         "miou": miou, "ciou": ciou,
     }
-    print(json.dumps(out))
+    print(_json_line(out))
     out["evaluator"] = acc
     return out
 
@@ -480,7 +491,7 @@ def run_oscd(cfg: InferConfig) -> Dict:
         "recall": acc.Pixel_Recall_Rate(), "f1": acc.Pixel_F1_score(),
         "miou": miou, "ciou": ciou, "auc": roc.auc(),
     }
-    print(json.dumps(out))
+    print(_json_line(out))
     out["evaluator"] = acc
     return out
 
