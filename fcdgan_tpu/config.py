@@ -109,6 +109,9 @@ class WSSSConfig:
     model_g_reuse: bool = True
     discriminator_continuous: bool = True
     stats_name: str = "stats"
+    # True: re-pick a random unchanged partner per __getitem__ instead of the
+    # per-epoch order_reset pairing (reference: data_utils.py:611-617)
+    random_assign: bool = False
 
     # random-erase augmentation on the training datasets
     # (reference wiring: CommonFunc.py:78-141, Demo_RSSS.py:96,128)

@@ -71,7 +71,7 @@ def run(cfg: WSSSConfig) -> Dict:
     eraser = build_eraser(cfg.random_eraser, cfg.eraser_regions,
                           cfg.erase_thresh, cfg.seed)
     pair_ds = WHUPairDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
-                             scale=scaler, random_assign=False, transforms=eraser,
+                             scale=scaler, random_assign=cfg.random_assign, transforms=eraser,
                              rng=random.Random(cfg.seed))
     total = len(pair_ds)
     fields = ("x", "y", "ref", "item", "label")

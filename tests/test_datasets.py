@@ -155,6 +155,32 @@ def test_whu_pair_order_reset_covers_all(tmp_path):
     assert len(pair.c_order) == 7  # re-paired each epoch
 
 
+def test_whu_pair_random_assign(tmp_path):
+    """--random-assign: a random unchanged partner per access
+    (data_utils.py:611-617); the native pair loader declines it so the
+    driver falls back to the Python loader."""
+    d = make_whu_dataset(str(tmp_path / "whu3"), n_changed=2, n_unchanged=5)
+    import random
+
+    import pytest
+
+    pair = WHUPairDataset(d["before"], d["after"], d["Label"], d["root"],
+                          random_assign=True, rng=random.Random(0))
+    assert len(pair) == 5
+    # nc is the larger set here, so it is indexed directly and the CHANGED
+    # partner is the random draw (data_utils.py:615-617)
+    assert all(int(pair[0][1][3]) == 0 for _ in range(3))
+    partners = {int(pair[0][0][3]) for _ in range(12)}
+    assert len(partners) > 1  # re-drawn per access
+    c, nc = pair[1]
+    assert c[4][2] == 1 and nc[4][2] == 0
+
+    from fcdgan_tpu.data.pipeline import NativeWHUPairBatchLoader
+
+    with pytest.raises(Exception):
+        NativeWHUPairBatchLoader(pair, 2)
+
+
 def test_oscd_dataset_multi_scene(tmp_path):
     root = str(tmp_path / "oscd")
     make_oscd_dataset(root, train_scenes=("alpha", "beta"), xsize=64, ysize=64)
