@@ -140,11 +140,45 @@ def main(results_dir, out_md):
         lines.append(f"| {s} | " + " | ".join(cells) + " |")
     lines.append("")
 
+    lines += render_xload_section(results_dir)
     lines += render_mode_sections(results_dir)
 
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print("wrote", out_md)
+
+
+def render_xload_section(results_dir):
+    """Cross-load rows: the reference's trained SModel.pkl served by OUR
+    stitched inference (xload.py via io/torch_interop) vs the reference's
+    own final inference on the same scene."""
+    rows = [(s, load(os.path.join(results_dir, f"xload_{s}.json")))
+            for s in ("a", "b", "c")]
+    rows = [(s, r) for s, r in rows if r]
+    if not rows:
+        return []
+    lines = [
+        "## Cross-load: reference-trained torch weights served by this framework",
+        "",
+        "The reference's own trained ``SModel.pkl`` pickles, converted on load",
+        "(io/torch_interop) and run through ``tools/infer.py`` scene-mode",
+        "stitched inference (f32) on the same scene — model-level parity",
+        "independent of training dynamics. Reference row = its own final",
+        "inference (rounded to 4 decimals in the stored results).",
+        "",
+        "| scene | framework | " + " | ".join(k.upper() for k in KEYS) + " |",
+        "|" + "---|" * (len(KEYS) + 2),
+    ]
+    for s, r in rows:
+        for name, f in (("reference", r["reference_final"]),
+                        ("xload (ours)", r["xload_final"])):
+            lines.append(f"| {s} | {name} | "
+                         + " | ".join(fmt(f.get(k)) for k in KEYS) + " |")
+    deltas = [abs(v) for _, r in rows for v in r["delta"].values()]
+    lines += ["", f"Max |delta| across all scenes/metrics: **{max(deltas):.2e}**"
+              " (within the 4-decimal rounding of the stored reference metrics).",
+              ""]
+    return lines
 
 
 MODE_BLURB = {
