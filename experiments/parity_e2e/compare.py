@@ -175,9 +175,10 @@ def render_xload_section(results_dir):
             lines.append(f"| {s} | {name} | "
                          + " | ".join(fmt(f.get(k)) for k in KEYS) + " |")
     deltas = [abs(v) for _, r in rows for v in r["delta"].values()]
-    lines += ["", f"Max |delta| across all scenes/metrics: **{max(deltas):.2e}**"
-              " (within the 4-decimal rounding of the stored reference metrics).",
-              ""]
+    if deltas:
+        lines += ["", f"Max |delta| across all scenes/metrics: **{max(deltas):.2e}**"
+                  " (within the 4-decimal rounding of the stored reference metrics)."]
+    lines.append("")
     return lines
 
 

@@ -33,7 +33,9 @@ def main(scene_dir, smodel, ref_json, out_json, platform=None):
         compute_dtype="float32", siamese_stats="split",
         platform=platform, progress=False)
     res = run_infer(cfg)
-    ours = {k: res[k] for k in KEYS}
+    import math
+
+    ours = {k: (None if not math.isfinite(res[k]) else res[k]) for k in KEYS}
     with open(ref_json) as f:
         theirs = json.load(f)["final"]
     out = {
@@ -41,7 +43,7 @@ def main(scene_dir, smodel, ref_json, out_json, platform=None):
         "reference_final": {k: theirs.get(k) for k in KEYS},
         "xload_final": ours,
         "delta": {k: round(ours[k] - theirs[k], 6) for k in KEYS
-                  if theirs.get(k) is not None},
+                  if theirs.get(k) is not None and ours[k] is not None},
     }
     with open(out_json, "w") as f:
         json.dump(out, f, indent=1)
@@ -50,9 +52,10 @@ def main(scene_dir, smodel, ref_json, out_json, platform=None):
 
 
 if __name__ == "__main__":
+    args = sys.argv[1:]
     plat = None
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--platform" in sys.argv:
-        plat = sys.argv[sys.argv.index("--platform") + 1]
-        argv = argv[:4]
-    main(*argv[:4], platform=plat)
+    if "--platform" in args:
+        i = args.index("--platform")
+        plat = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    main(*args[:4], platform=plat)

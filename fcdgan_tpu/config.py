@@ -184,6 +184,11 @@ class RSSSConfig:
     model_g_reuse: bool = True
     discriminator_continuous: bool = True
     stats_name: str = "statsMS"
+    # 'train' = reference parity: the per-epoch test eval runs train-mode BN
+    # (netS.eval() is never called in the adversarial loop, Demo_RSSS.py:415)
+    # and the BN running stats absorb the test batches; 'eval' = clean
+    # running-stats evaluation with no test leakage
+    test_eval_bn: str = "train"
 
     # random-erase augmentation on the training dataset
     # (reference wiring: CommonFunc.py:78-141, Demo_RSSS.py:96,128)

@@ -212,12 +212,26 @@ def run(cfg: RSSSConfig) -> Dict:
 
         # per-epoch test evaluation (Demo_RSSS.py:399-447): confusion
         # accumulates on device via EpochAverages — one download per epoch
-        # instead of a blocking transfer per batch
+        # instead of a blocking transfer per batch. Default reference-parity
+        # mode runs train-mode BN and lets the running stats absorb the test
+        # batches (netS.eval() is never called in the reference's loop);
+        # wrap-padded tail duplicates are trimmed so the batch statistics
+        # match torch's drop_last=False short tail batch.
         test_av = EpochAverages(1)
         for batch in prefetch(iter(test_loader), cfg.prefetch_depth):
+            if cfg.test_eval_bn == "train" and mesh is None:
+                n_real = int(np.asarray(batch["weight"]).sum())
+                if n_real < len(batch["weight"]):
+                    batch = {k: v[:n_real] for k, v in batch.items()}
             db = put(batch)
-            cm, _ = steps.eval_confusion(sstate, db["x"], db["y"], db["ref"],
-                                         db["item"], db["weight"])
+            if cfg.test_eval_bn == "train":
+                cm, sstate = steps.eval_confusion_train(
+                    sstate, db["x"], db["y"], db["ref"], db["item"],
+                    db["weight"])
+            else:
+                cm, _ = steps.eval_confusion(sstate, db["x"], db["y"],
+                                             db["ref"], db["item"],
+                                             db["weight"])
             test_av.update({"confusion": cm}, 0.0)
         test_acc = Evaluator(num_class=len(cfg.gt_map))
         if test_av.confusion is not None:

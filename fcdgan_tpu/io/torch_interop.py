@@ -133,7 +133,12 @@ def torch_to_variables(sd: Dict, kind: Optional[str] = None) -> Dict:
     """Reference state_dict -> {'params': ..., 'batch_stats': ...} trees
     matching what the corresponding flax model's ``init`` produces."""
     sd = {k: _np(v) for k, v in sd.items()}
-    kind = kind or detect_torch_kind(sd)
+    detected = detect_torch_kind(sd)
+    if kind and kind != detected:
+        raise ValueError(
+            f"state_dict looks like a {detected} but a {kind} was expected "
+            f"(e.g. a GModel.pkl passed where an SModel is required)")
+    kind = detected
     if kind == "segmentor" and "up1.up.weight" in sd:
         raise NotImplementedError(
             "ConvTranspose (bilinear=False) Segmentor checkpoints are not "

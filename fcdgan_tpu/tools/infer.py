@@ -90,6 +90,24 @@ class InferConfig:
     progress: bool = True
 
 
+def _restore_segmentor(cfg: InferConfig, nband: int, h: int, w: int):
+    """Shared across the three serving modes: build the eval Segmentor and
+    restore --smodel into it (orbax .ckpt dir or reference torch .pkl)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.checkpoint import restore_net_any
+    from ..models import Segmentor
+    from ..train.state import create_net_state
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
+                      siamese_stats=cfg.siamese_stats)
+    zx = np.zeros((1, h, w, nband), np.float32)
+    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
+    return net_s, restore_net_any(cfg.smodel, template, kind="segmentor")
+
+
 def run(cfg: InferConfig) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -112,10 +130,7 @@ def run(cfg: InferConfig) -> Dict:
     from ..eval.inference import quantized_infer, run_overlapped
     from ..eval.roc import RocCurve
     from ..data.pipeline import BatchLoader, prefetch
-    from ..io.checkpoint import restore_net_any
-    from ..models import Segmentor
     from ..parallel.mesh import make_mesh, replicate_state, shard_batch
-    from ..train.state import create_net_state
     from ..utils.runtime import enable_compile_cache
 
     enable_compile_cache()
@@ -147,12 +162,8 @@ def run(cfg: InferConfig) -> Dict:
     nband = dataset.size()[2]
 
     # -- restore the segmentor ----------------------------------------------
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
-                      siamese_stats=cfg.siamese_stats)
-    zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
-    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
-    sstate = restore_net_any(cfg.smodel, template, kind="segmentor")
+    net_s, sstate = _restore_segmentor(cfg, nband,
+                                       cfg.patch_size[1], cfg.patch_size[0])
 
     mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
     if mesh is not None:
@@ -270,16 +281,14 @@ def run_whu(cfg: InferConfig) -> Dict:
     from ..eval.changemap import write_changemap
     from ..eval.evaluator import Evaluator
     from ..eval.inference import run_overlapped
-    from ..io.checkpoint import restore_net_any
-    from ..models import Segmentor
-    from ..train.state import create_net_state
     from ..utils.runtime import enable_compile_cache
 
     enable_compile_cache()
     if not cfg.smodel:
         raise SystemExit("--smodel <SModel.ckpt> is required")
-    if not (cfg.img_dir_x and cfg.img_dir_y and cfg.label_dir):
-        raise SystemExit("whu mode needs --img-dir-x/--img-dir-y/--label-dir")
+    if not (cfg.img_dir_x and cfg.img_dir_y and cfg.ref_dir and cfg.label_dir):
+        raise SystemExit(
+            "whu mode needs --img-dir-x/--img-dir-y/--ref-dir/--label-dir")
     out_dir = cfg.outdir or os.path.join(
         cfg.label_dir, "Detection_serve{}".format(cfg.ext))
     os.makedirs(out_dir, exist_ok=True)
@@ -300,12 +309,7 @@ def run_whu(cfg: InferConfig) -> Dict:
     x0 = ds[0][0]
     h, w, nband = x0.shape
 
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
-                      siamese_stats=cfg.siamese_stats)
-    zx = np.zeros((1, h, w, nband), np.float32)
-    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
-    sstate = restore_net_any(cfg.smodel, template, kind="segmentor")
+    net_s, sstate = _restore_segmentor(cfg, nband, h, w)
 
     if cfg.bn_mode == "train":
         def fwd(st, x, y):
@@ -325,9 +329,16 @@ def run_whu(cfg: InferConfig) -> Dict:
 
     def compute(batch):
         nonlocal sstate, pixels
-        pixels += h * w * int(np.asarray(batch["weight"]).sum())
+        n_real = int(np.asarray(batch["weight"]).sum())
+        pixels += h * w * n_real
         if cfg.bn_mode == "train":
-            cmap_dev, sstate = infer_train(sstate, batch["x"], batch["y"])
+            # train-mode BN statistics must come from the REAL slices only —
+            # the wrap-padded tail duplicates (weight 0, appended last by
+            # BatchLoader) would skew them vs the reference's short tail
+            # batch (Demo_WSSS.py:387-445). Costs one extra compile for the
+            # tail shape, exactly like torch's drop_last=False.
+            bx, by = batch["x"][:n_real], batch["y"][:n_real]
+            cmap_dev, sstate = infer_train(sstate, bx, by)
             return cmap_dev
         return infer(sstate, batch["x"], batch["y"])
 
@@ -387,10 +398,7 @@ def run_oscd(cfg: InferConfig) -> Dict:
     from ..eval.evaluator import Evaluator
     from ..eval.inference import quantized_infer, run_overlapped
     from ..eval.roc import RocCurve
-    from ..io.checkpoint import restore_net_any
-    from ..models import Segmentor
     from ..parallel.mesh import make_mesh, replicate_state, shard_batch
-    from ..train.state import create_net_state
     from ..utils.runtime import enable_compile_cache
 
     enable_compile_cache()
@@ -405,12 +413,8 @@ def run_oscd(cfg: InferConfig) -> Dict:
     density_name = "{}{}".format(cfg.out_name_density, cfg.ext)
     color_name = "{}{}".format(cfg.out_name_binary, cfg.ext)
 
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    net_s = Segmentor(nband, bilinear=cfg.bilinear, dtype=dtype,
-                      siamese_stats=cfg.siamese_stats)
-    zx = np.zeros((1, cfg.patch_size[1], cfg.patch_size[0], nband), np.float32)
-    template = create_net_state(net_s, jax.random.PRNGKey(0), (zx, zx), tx=None)
-    sstate = restore_net_any(cfg.smodel, template, kind="segmentor")
+    net_s, sstate = _restore_segmentor(cfg, nband,
+                                       cfg.patch_size[1], cfg.patch_size[0])
 
     mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
     if mesh is not None:
@@ -457,11 +461,12 @@ def run_oscd(cfg: InferConfig) -> Dict:
             dataset.write(cmap[ns], item, density_name)
             ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
             cmask_chw = np.moveaxis(cmask[ns], -1, 0)
-            if cfg.write_color:
-                codes = write_changemap_gdal(
-                    cmask_chw, ref_chw, write_color=True,
-                    ref_map=cfg.gt_map, dt_map=cfg.pre_map)
-                dataset.write(np.moveaxis(codes, 0, -1), item, color_name)
+            # always written, like the driver (Demo_RSSS.py:486-487):
+            # write_color=False yields the binary {0,1} detection raster
+            codes = write_changemap_gdal(
+                cmask_chw, ref_chw, write_color=cfg.write_color,
+                ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+            dataset.write(np.moveaxis(codes, 0, -1), item, color_name)
             y0, y1, x0, x1 = dataset.eff_range(item)
             acc.add_batch_map(ref_chw[0, y0:y1, x0:x1].astype(np.int16),
                               cmask_chw[0, y0:y1, x0:x1].astype(np.int16),

@@ -524,6 +524,8 @@ class RSSSSteps:
         self.adversarial = jax.jit(self._adversarial, donate_argnums=(0, 1))
         self.infer = jax.jit(self._infer)
         self.eval_confusion = jax.jit(self._eval_confusion)
+        self.eval_confusion_train = jax.jit(self._eval_confusion_train,
+                                            donate_argnums=(0,))
 
     def _cgen(self, y, y_fake, cmap, w, target_grad=True):
         return L.cgenerator_loss(
@@ -646,3 +648,15 @@ class RSSSSteps:
         """Per-epoch test eval over interiors (Demo_RSSS.py:399-447)."""
         cmap = _f32(self.S.apply(sstate.variables, x, y, train=False))
         return self._confusion(cmap, ref, item, w, self.test_interior), cmap
+
+    def _eval_confusion_train(self, sstate: NetState, x, y, ref, item, w):
+        """Reference-parity test eval: the reference never calls
+        ``netS.eval()`` inside the adversarial loop, so its per-epoch test
+        forward (Demo_RSSS.py:415) runs train-mode BN — batch statistics for
+        the prediction AND the running stats absorb the test batches (which
+        the eval-mode final inference then uses, Demo_RSSS.py:451)."""
+        cmap, muts = self.S.apply(sstate.variables, x, y, train=True,
+                                  mutable=["batch_stats"])
+        cmap = _f32(cmap)
+        sstate = sstate.replace(batch_stats=muts["batch_stats"])
+        return self._confusion(cmap, ref, item, w, self.test_interior), sstate

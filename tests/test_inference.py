@@ -179,6 +179,61 @@ def dataclasses_replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def test_infer_whu_train_bn_tail_batch(tmp_path):
+    """bn_mode='train' normalizes the tail batch with REAL-slice statistics
+    only (torch drop_last=False semantics), not wrap-padded duplicates."""
+    import os
+
+    from PIL import Image
+
+    from fcdgan_tpu.data.datasets import WHUDataset
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.stats import dataset_meanstd
+    from fcdgan_tpu.data.synthetic import make_whu_dataset
+    from fcdgan_tpu.io.checkpoint import save_net
+    from fcdgan_tpu.tools.infer import InferConfig, run as run_infer
+
+    d = str(tmp_path / "whu")
+    make_whu_dataset(d, n_changed=3, n_unchanged=1, size=48, seed=1)
+
+    model = Segmentor(3, bilinear=True)
+    zx = jnp.zeros((1, 48, 48, 3))
+    sstate = create_net_state(model, jax.random.PRNGKey(1), (zx, zx), adam())
+    ckpt = str(tmp_path / "SModel_t.ckpt")
+    save_net(ckpt, sstate, include_opt=False)
+
+    cfg = InferConfig(mode="whu", smodel=ckpt, bn_mode="train",
+                      img_dir_x=os.path.join(d, "before"),
+                      img_dir_y=os.path.join(d, "after"),
+                      ref_dir=os.path.join(d, "Label"), label_dir=d,
+                      outdir=str(tmp_path / "out"),
+                      batch_size=2, compute_dtype="float32", progress=False)
+    res = run_infer(cfg)  # batches: [s0, s1] then the 1-slice tail [s2]
+
+    # manual replay: same scaler, same batching, train-mode BN carried over
+    stats_ds = WHUDataset(os.path.join(d, "before"), os.path.join(d, "after"),
+                          os.path.join(d, "Label"), d, "-1")
+    sp1 = os.path.join(d, "before", "stats_meanstd.txt")
+    sp2 = os.path.join(d, "after", "stats_meanstd.txt")
+    scaler = Normalize(*dataset_meanstd(sp1, sp2, stats_ds))
+    ds = WHUDataset(os.path.join(d, "before"), os.path.join(d, "after"),
+                    os.path.join(d, "Label"), d, scale=scaler,
+                    label_selected="1")
+    st = sstate
+    outs = []
+    for idx in ([0, 1], [2]):
+        bx = jnp.stack([jnp.asarray(ds[i][0]) for i in idx])
+        by = jnp.stack([jnp.asarray(ds[i][1]) for i in idx])
+        cmap, mut = model.apply(st.variables, bx, by, train=True,
+                                mutable=["batch_stats"])
+        st = st.replace(batch_stats=mut["batch_stats"])
+        outs.extend(np.asarray(cmap, np.float32)[:, :, :, 0])
+    for i, expect in enumerate(outs):
+        got = np.asarray(Image.open(
+            os.path.join(res["density_dir"], ds.get_file_name(i)))) / 255.0
+        np.testing.assert_allclose(got, expect, atol=1 / 255 + 1e-6)
+
+
 def test_infer_tool_oscd_mode(tmp_path):
     """tools/infer.py --mode oscd: per-scene stitched density/color rasters."""
     import os

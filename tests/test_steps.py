@@ -289,6 +289,23 @@ def test_rsss_adversarial_step(rsss, batch):
                                    batch["item"], batch["w"])
     assert cm.shape == (2, 2) and cmap.shape == (2, HW, HW, 1)
 
+    # reference-parity test eval (Demo_RSSS.py:415): train-mode BN forward
+    # whose confusion matches a direct mutable apply, and whose returned
+    # state carries test-updated running stats
+    s3 = clone(s2)
+    cm_t, s4 = rsss.eval_confusion_train(clone(s2), batch["x"], batch["y"],
+                                         batch["ref"], batch["item"], batch["w"])
+    cmap_direct, muts = rsss.S.apply(s3.variables, batch["x"], batch["y"],
+                                     train=True, mutable=["batch_stats"])
+    cm_direct = rsss._confusion(np.asarray(cmap_direct, np.float32),
+                                batch["ref"], batch["item"], batch["w"],
+                                rsss.test_interior)
+    np.testing.assert_array_equal(np.asarray(cm_t), np.asarray(cm_direct))
+    stats_changed = jax.tree.map(lambda a, b: bool((np.asarray(a) !=
+                                                    np.asarray(b)).any()),
+                                 s3.batch_stats, s4.batch_stats)
+    assert any(jax.tree.leaves(stats_changed))
+
 
 @pytest.mark.slow
 def test_rsss_g_pretrain_with_region_mask(rsss, batch):
