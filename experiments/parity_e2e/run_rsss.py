@@ -35,7 +35,7 @@ def make_data(d, xsize=256, ysize=256, seed=0):
 
 
 def run_reference(d, eg, eadv, ibs, bs, seed=0):
-    gdir = os.path.join(d, "GModel_ref")
+    gdir = os.path.join(d, "GModel_ref" if seed == 0 else f"GModel_ref_s{seed}")
     os.makedirs(gdir, exist_ok=True)
     subs = [
         # anchor to the comment; modelG_reuse re-assigns `= 0` (Demo_RSSS.py:170)
@@ -56,9 +56,10 @@ def run_rebuild(d, eg, eadv, ibs, bs, mode="parity", platform=None, seed=0):
     from fcdgan_tpu.demos import demo_rsss
 
     parity = mode == "parity" or platform == "cpu"
+    tag = mode if seed == 0 else f"{mode}_s{seed}"
     cfg = RSSSConfig(
-        img_dir=d, out_g_model_dir=os.path.join(d, f"GModel_rebuild_{mode}"),
-        ext=f"_{mode}",
+        img_dir=d, out_g_model_dir=os.path.join(d, f"GModel_rebuild_{tag}"),
+        ext=f"_{tag}",
         init_num_epochs_g=eg, num_epochs=eadv,
         init_batch_size=ibs, batch_size=bs,
         platform=platform, seed=seed, log_tensorboard=False, progress=False,
@@ -79,12 +80,13 @@ if __name__ == "__main__":
         sys.exit(0)
     eg, eadv, ibs, bs = (int(a) for a in sys.argv[3:7])
     out_json = sys.argv[7] if len(sys.argv) > 7 and not sys.argv[7].startswith("--") else None
+    seed = int(sys.argv[sys.argv.index("--seed") + 1]) if "--seed" in sys.argv else 0
     if cmd == "reference":
-        res = run_reference(d, eg, eadv, ibs, bs)
+        res = run_reference(d, eg, eadv, ibs, bs, seed=seed)
     else:
         mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "parity"
         platform = sys.argv[sys.argv.index("--platform") + 1] if "--platform" in sys.argv else None
-        res = run_rebuild(d, eg, eadv, ibs, bs, mode=mode, platform=platform)
+        res = run_rebuild(d, eg, eadv, ibs, bs, mode=mode, platform=platform, seed=seed)
     print(json.dumps(res["final"]))
     if out_json:
         with open(out_json, "w") as f:

@@ -33,7 +33,7 @@ def make_data(d, n_changed=6, n_unchanged=6, size=200, seed=0):
 
 
 def run_reference(d, eg, eadv, bs, ubs, seed=0):
-    gdir = os.path.join(d, "GModel_ref")
+    gdir = os.path.join(d, "GModel_ref" if seed == 0 else f"GModel_ref_s{seed}")
     os.makedirs(gdir, exist_ok=True)
     subs = [
         # anchor to the commented constants line; modelG_reuse re-assigns
@@ -61,11 +61,12 @@ def run_rebuild(d, eg, eadv, bs, ubs, mode="parity", platform=None, seed=0):
     from fcdgan_tpu.demos import demo_wsss
 
     parity = mode == "parity" or platform == "cpu"
+    tag = mode if seed == 0 else f"{mode}_s{seed}"
     cfg = WSSSConfig(
         img_dir_x=os.path.join(d, "before"), img_dir_y=os.path.join(d, "after"),
         ref_dir=os.path.join(d, "Label"), label_dir=d,
-        out_g_model_dir=os.path.join(d, f"GModel_rebuild_{mode}"),
-        out_dir=os.path.join(d, f"rebuild_out_{mode}"), ext=f"_{mode}",
+        out_g_model_dir=os.path.join(d, f"GModel_rebuild_{tag}"),
+        out_dir=os.path.join(d, f"rebuild_out_{tag}"), ext=f"_{tag}",
         init_num_epochs_g=eg, num_epochs=eadv,
         batch_size=bs, unc_batch_size=ubs,
         platform=platform, seed=seed, log_tensorboard=False, progress=False,
@@ -86,12 +87,13 @@ if __name__ == "__main__":
         sys.exit(0)
     eg, eadv, bs, ubs = (int(a) for a in sys.argv[3:7])
     out_json = sys.argv[7] if len(sys.argv) > 7 and not sys.argv[7].startswith("--") else None
+    seed = int(sys.argv[sys.argv.index("--seed") + 1]) if "--seed" in sys.argv else 0
     if cmd == "reference":
-        res = run_reference(d, eg, eadv, bs, ubs)
+        res = run_reference(d, eg, eadv, bs, ubs, seed=seed)
     else:
         mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "parity"
         platform = sys.argv[sys.argv.index("--platform") + 1] if "--platform" in sys.argv else None
-        res = run_rebuild(d, eg, eadv, bs, ubs, mode=mode, platform=platform)
+        res = run_rebuild(d, eg, eadv, bs, ubs, mode=mode, platform=platform, seed=seed)
     print(json.dumps(res["final"]))
     if out_json:
         with open(out_json, "w") as f:
