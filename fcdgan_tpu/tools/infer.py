@@ -127,7 +127,8 @@ def run(cfg: InferConfig) -> Dict:
     from ..data.stats import dataset_meanstd
     from ..eval.changemap import write_changemap_gdal
     from ..eval.evaluator import Evaluator
-    from ..eval.inference import quantized_infer, run_overlapped
+    from ..eval.inference import (cropped_infer, quantized_infer,
+                                  run_overlapped)
     from ..eval.roc import RocCurve
     from ..data.pipeline import BatchLoader, prefetch
     from ..parallel.mesh import make_mesh, replicate_state, shard_batch
@@ -174,7 +175,11 @@ def run(cfg: InferConfig) -> Dict:
 
     infer = jax.jit(lambda st, x, y: net_s.apply(
         st.variables, x, y, train=False).astype(jnp.float32))
+    # device-side halo trim before the download (exact: the density write,
+    # color map, metrics, and ROC below consume tile interiors only)
+    infer = cropped_infer(infer, cfg.overlap_padding, cfg.patch_size)
     infer_q, dequant = quantized_infer(infer, cfg.density_dtype)
+    pady, padx = cfg.overlap_padding[1], cfg.overlap_padding[0]
 
     fields = ("x", "y", "item", "ref") if ref_path else ("x", "y", "item")
     loader = BatchLoader(dataset, cfg.batch_size, fields=fields, shuffle=False)
@@ -211,7 +216,12 @@ def run(cfg: InferConfig) -> Dict:
             item = int(batch["item"][ns])
             dataset.write_default(cmap[ns], item)
             if acc is not None:
-                ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+                # cmap/cmask are halo-cropped on device; crop the host-side
+                # ref the same way so all arrays share the crop origin
+                ref_hw = batch["ref"][ns][..., 0]
+                if pady or padx:
+                    ref_hw = ref_hw[pady:-pady or None, padx:-padx or None]
+                ref_chw = ref_hw[None]
                 cmask_chw = np.moveaxis(cmask[ns], -1, 0)
                 if cfg.write_color:
                     if out_color is None:
@@ -224,12 +234,13 @@ def run(cfg: InferConfig) -> Dict:
                     dataset.write(np.moveaxis(codes, 0, -1).astype(np.int32),
                                   item, out_color)
                 y0, y1, x0, x1 = dataset.grid.interior(item)
+                y1, x1 = y1 - pady, x1 - padx  # crop-origin coords
                 acc.add_batch_map(
-                    ref_chw[0, y0:y1, x0:x1].astype(np.int16),
-                    cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
+                    ref_chw[0, :y1, :x1].astype(np.int16),
+                    cmask_chw[0, :y1, :x1].astype(np.int16),
                     list(cfg.gt_map), list(cfg.pre_map))
-                roc.add_batch(cmap[ns, y0:y1, x0:x1, 0],
-                              (ref_chw[0, y0:y1, x0:x1] == cfg.gt_map[1]))
+                roc.add_batch(cmap[ns, :y1, :x1, 0],
+                              (ref_chw[0, :y1, :x1] == cfg.gt_map[1]))
         processed += int(np.asarray(batch["weight"]).sum())
         if cfg.progress:
             print("\rProcessing batch: {}/{}".format(processed, total),
@@ -396,7 +407,8 @@ def run_oscd(cfg: InferConfig) -> Dict:
     from ..demos.demo_rsss import _scene_scalers
     from ..eval.changemap import write_changemap_gdal
     from ..eval.evaluator import Evaluator
-    from ..eval.inference import quantized_infer, run_overlapped
+    from ..eval.inference import (cropped_infer, quantized_infer,
+                                  run_overlapped)
     from ..eval.roc import RocCurve
     from ..parallel.mesh import make_mesh, replicate_state, shard_batch
     from ..utils.runtime import enable_compile_cache
@@ -422,7 +434,10 @@ def run_oscd(cfg: InferConfig) -> Dict:
 
     infer = jax.jit(lambda st, x, y: net_s.apply(
         st.variables, x, y, train=False).astype(jnp.float32))
+    # device-side halo trim before the download (exact; see cropped_infer)
+    infer = cropped_infer(infer, cfg.overlap_padding, cfg.patch_size)
     infer_q, dequant = quantized_infer(infer, cfg.density_dtype)
+    pady, padx = cfg.overlap_padding[1], cfg.overlap_padding[0]
 
     def make_loader():
         try:
@@ -459,7 +474,12 @@ def run_oscd(cfg: InferConfig) -> Dict:
                 continue
             item = int(batch["item"][ns])
             dataset.write(cmap[ns], item, density_name)
-            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+            # cmap/cmask are halo-cropped on device; crop the host ref to
+            # the same origin before the color map + interior metrics
+            ref_hw = batch["ref"][ns][..., 0]
+            if pady or padx:
+                ref_hw = ref_hw[pady:-pady or None, padx:-padx or None]
+            ref_chw = ref_hw[None]
             cmask_chw = np.moveaxis(cmask[ns], -1, 0)
             # always written, like the driver (Demo_RSSS.py:486-487):
             # write_color=False yields the binary {0,1} detection raster
@@ -468,11 +488,12 @@ def run_oscd(cfg: InferConfig) -> Dict:
                 ref_map=cfg.gt_map, dt_map=cfg.pre_map)
             dataset.write(np.moveaxis(codes, 0, -1), item, color_name)
             y0, y1, x0, x1 = dataset.eff_range(item)
-            acc.add_batch_map(ref_chw[0, y0:y1, x0:x1].astype(np.int16),
-                              cmask_chw[0, y0:y1, x0:x1].astype(np.int16),
+            y1, x1 = y1 - pady, x1 - padx  # crop-origin coords
+            acc.add_batch_map(ref_chw[0, :y1, :x1].astype(np.int16),
+                              cmask_chw[0, :y1, :x1].astype(np.int16),
                               list(cfg.gt_map), list(cfg.pre_map))
-            roc.add_batch(cmap[ns, y0:y1, x0:x1, 0],
-                          (ref_chw[0, y0:y1, x0:x1] == cfg.gt_map[1]))
+            roc.add_batch(cmap[ns, :y1, :x1, 0],
+                          (ref_chw[0, :y1, :x1] == cfg.gt_map[1]))
         processed += int(np.asarray(batch["weight"]).sum())
         if cfg.progress:
             print("\rProcessing batch: {}/{}".format(processed, total),
