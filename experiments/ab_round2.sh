@@ -33,12 +33,12 @@ run_point() { # name, env assignments..., then -- , then bench args
   done
 }
 
-run_point base -- --
-run_point pool_pallas FCDGAN_POOL=pallas -- --
+run_point base --
+run_point pool_pallas FCDGAN_POOL=pallas --
 if [ "${1:-}" != "quick" ]; then
   # --pretrain reports its own in-process split-vs-stacked perception A/B
-  REPS=1 run_point pretrain -- -- --pretrain
-  REPS=1 run_point driver -- -- --driver
-  REPS=1 run_point infer_uint8 -- -- --inference --density-dtype uint8
+  REPS=1 run_point pretrain -- --pretrain
+  REPS=1 run_point driver -- --driver
+  REPS=1 run_point infer_uint8 -- --inference --density-dtype uint8
 fi
 echo "done; results in $OUT" >&2
