@@ -217,12 +217,14 @@ def bench_pretrain():
 
     def measure(step_fn, g):
         g, m = step_fn(g, d["x"], d["y"], d["weight"], 1e-4)
-        jax.block_until_ready(m["NetLoss"])
+        float(m["NetLoss"])  # force a download: on the axon relay,
+        # block_until_ready can return before execution for some graphs
+        # (round-3 finding; the donated-g chain + download is watertight)
         n = 20
         t0 = time.perf_counter()
         for _ in range(n):
             g, m = step_fn(g, d["x"], d["y"], d["weight"], 1e-4)
-        jax.block_until_ready(m["NetLoss"])
+        float(m["NetLoss"])
         return 10 * 220 * 220 * n / (time.perf_counter() - t0) / 1e6
 
     fast = measure(steps.g_pretrain, gstate)
@@ -269,6 +271,154 @@ def _pretrain_stacked(steps, gstate, x, y, w, lr):
         "NetLoss": loss}
 
 
+def _measure_adversarial(steps, sstate, dstate, gstate, args, px_per_step,
+                         metric, ref_flops_fn=None):
+    """Time an adversarial (D-then-S) step: donated s/d states chain the
+    iterations; a final scalar download forces execution (the axon relay's
+    block_until_ready can return pre-execution for some graphs)."""
+    import time as _time
+
+    sstate, dstate, m = steps.adversarial(sstate, dstate, gstate, *args)
+    float(m["s_loss"])
+    n = 20
+    t0 = _time.perf_counter()
+    for _ in range(n):
+        sstate, dstate, m = steps.adversarial(sstate, dstate, gstate, *args)
+    float(m["s_loss"])
+    dt = _time.perf_counter() - t0
+    mpx = px_per_step * n / dt / 1e6
+    vs = -1.0
+    if ref_flops_fn is not None:
+        step_flops = ref_flops_fn()
+        if step_flops > 0:
+            # estimated A100 reference (BASELINE.md methodology). No extra
+            # backward-count scaling: the reference's D+S alternating step
+            # runs at least this step's math (it re-forwards what our vjp
+            # capture reuses), so the estimate is conservative.
+            a100 = 0.35 * 156e12
+            baseline_mpx = px_per_step / (step_flops / a100) / 1e6
+            vs = round(mpx / baseline_mpx, 3)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(mpx, 3),
+        "unit": "Mpx/s",
+        "vs_baseline": vs,
+    }))
+
+
+def bench_wsss(batch=15, hw=200, nband=3):
+    """WSSS adversarial-step throughput at the production config
+    (Demo_WSSS.py:31-66: bs 15, RGB perception layer 1, WHU 200px slices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    from fcdgan_tpu.models import Discriminator, Generator, Segmentor
+    from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
+    from fcdgan_tpu.train.optim import adam, rmsprop
+    from fcdgan_tpu.train.state import create_net_state
+    from fcdgan_tpu.train.steps import PerceptionConfig, WSSSSteps
+
+    dtype = (jnp.bfloat16
+             if os.environ.get("FCDGAN_BENCH_DTYPE", "bfloat16") == "bfloat16"
+             else None)
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_d = Discriminator(nband, dtype=dtype)
+    tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
+    steps = WSSSSteps(
+        net_g, net_s, net_d, tx_g, tx_s, tx_d, load_vgg16_params(),
+        PerceptionConfig(select_feature_layers(1), per_band=False,
+                         dtype="bfloat16" if dtype is not None else None),
+        perception_weight=0.5, ssim_weight=0.0, g_weight=0.2, l1_weight=1.6,
+        d_weight=1.0, nc_weight=1.5, prob_thresh=0.6,
+    )
+    key = jax.random.PRNGKey(0)
+    zx = jnp.zeros((1, hw, hw, nband), jnp.float32)
+    gstate = create_net_state(net_g, key, (zx,), tx_g)
+    sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+    dstate = create_net_state(net_d, jax.random.fold_in(key, 2), (zx, zx), tx_d)
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.normal(size=(batch, hw, hw, nband)).astype(np.float32))
+    c_x, c_y, nc_x, nc_y = mk(), mk(), mk(), mk()
+    c_ref = jnp.asarray(rng.integers(0, 2, size=(batch, hw, hw, 1)).astype(np.float32))
+    w = jnp.ones(batch, jnp.float32)
+    args = (c_x, c_y, c_ref, nc_x, nc_y, w, 1e-3, 1e-5)
+
+    def flops():
+        lowered = steps.adversarial.lower(sstate, dstate, gstate, *args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+
+    # 2 pairs (changed + unchanged) per step -> px trained per step counts both
+    _measure_adversarial(steps, sstate, dstate, gstate, args,
+                         2 * batch * hw * hw, "wsss_adversarial_throughput",
+                         ref_flops_fn=flops)
+
+
+def bench_rsss(batch=12, hw=200, nband=4):
+    """RSSS adversarial-step throughput at the production config
+    (Demo_RSSS.py:31-67: bs 12, 4-band per-band perception, 200px tiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    from fcdgan_tpu.models import Discriminator, Generator, Segmentor
+    from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
+    from fcdgan_tpu.train.optim import rmsprop
+    from fcdgan_tpu.train.state import create_net_state
+    from fcdgan_tpu.train.steps import PerceptionConfig, RSSSSteps
+
+    dtype = (jnp.bfloat16
+             if os.environ.get("FCDGAN_BENCH_DTYPE", "bfloat16") == "bfloat16"
+             else None)
+    pad = (10, 10)
+    net_g = Generator(nband, dtype=dtype)
+    net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+    net_d = Discriminator(nband, dtype=dtype)
+    tx_g, tx_s, tx_d = rmsprop(), rmsprop(), rmsprop()
+    interior = np.tile([[hw - 2 * pad[1], hw - 2 * pad[0]]], (batch, 1)).astype(np.int32)
+    steps = RSSSSteps(
+        net_g, net_s, net_d, tx_g, tx_s, tx_d, load_vgg16_params(),
+        PerceptionConfig(select_feature_layers(1), per_band=True,
+                         dtype="bfloat16" if dtype is not None else None),
+        perception_weight=0.1, ssim_weight=0.0, g_weight=0.5, l1_weight=0.02,
+        d_weight=1.0, r_weight=2.0, interior_sizes=interior, pad=pad,
+    )
+    key = jax.random.PRNGKey(0)
+    zx = jnp.zeros((1, hw, hw, nband), jnp.float32)
+    gstate = create_net_state(net_g, key, (zx,), tx_g)
+    sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+    dstate = create_net_state(net_d, jax.random.fold_in(key, 2), (zx, zx), tx_d)
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.normal(size=(batch, hw, hw, nband)).astype(np.float32))
+    x, y = mk(), mk()
+    ref = jnp.asarray(rng.integers(1, 3, size=(batch, hw, hw, 1)).astype(np.float32))
+    region = jnp.asarray(rng.integers(0, 2, size=(batch, hw, hw, 1)).astype(np.float32))
+    item = jnp.arange(batch, dtype=jnp.int32)
+    w = jnp.ones(batch, jnp.float32)
+    args = (x, y, ref, region, item, w, 5e-5, 5e-5)
+
+    def flops():
+        lowered = steps.adversarial.lower(sstate, dstate, gstate, *args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+
+    _measure_adversarial(steps, sstate, dstate, gstate, args,
+                         batch * hw * hw, "rsss_adversarial_throughput",
+                         ref_flops_fn=flops)
+
+
 def bench_batch_sweep():
     """Single-chip batch sweep: Mpx/s at bs 10..80 (bounds DP efficiency
     analytically — a v5e-8 running global batch 80 is 8 chips at bs 10)."""
@@ -283,13 +433,13 @@ def bench_batch_sweep():
         d = {k: jnp.asarray(v) for k, v in d.items()}
         g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
                               d["weight"], 1e-4, 1e-4)
-        jax.block_until_ready(m["NetLoss"])
+        float(m["NetLoss"])  # force a download (see bench_pretrain note)
         n = 10
         t0 = time.perf_counter()
         for _ in range(n):
             g, s, m = steps.joint(g, s, d["x"], d["y"], d["ref"], d["item"],
                                   d["weight"], 1e-4, 1e-4)
-        jax.block_until_ready(m["NetLoss"])
+        float(m["NetLoss"])
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": f"usss_train_throughput_bs{bs}{suffix}",
@@ -364,13 +514,13 @@ def bench_scaling_worker(n: int):
 
     g, s, m = steps.joint(g, s, db["x"], db["y"], db["ref"], db["item"],
                           db["weight"], 1e-4, 1e-4)
-    jax.block_until_ready(m["NetLoss"])
+    float(m["NetLoss"])  # force a download (see bench_pretrain note)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         g, s, m = steps.joint(g, s, db["x"], db["y"], db["ref"], db["item"],
                               db["weight"], 1e-4, 1e-4)
-    jax.block_until_ready(m["NetLoss"])
+    float(m["NetLoss"])
     ms = (time.perf_counter() - t0) / reps * 1e3
     print(json.dumps({
         "metric": f"usss_dp_scaling_n{n}",
@@ -467,13 +617,15 @@ def main():
     # warmup
     for _ in range(3):
         gstate, sstate, m = run_step(gstate, sstate)
-    jax.block_until_ready(m["NetLoss"])
+    float(m["NetLoss"])  # forced download: verified to agree with
+    # block_until_ready for this donated-state chain (134.3 vs 134.1 ms/step,
+    # round 3), but watertight against the relay's async block_until_ready
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         gstate, sstate, m = run_step(gstate, sstate)
-    jax.block_until_ready(m["NetLoss"])
+    float(m["NetLoss"])
     dt = time.perf_counter() - t0
 
     px_per_step = batch * hw * hw
@@ -507,6 +659,10 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--pretrain", action="store_true",
                     help="USSS G-pretrain step throughput + target-grad A/B")
+    ap.add_argument("--wsss", action="store_true",
+                    help="WSSS adversarial-step throughput (production config)")
+    ap.add_argument("--rsss", action="store_true",
+                    help="RSSS adversarial-step throughput (production config)")
     ap.add_argument("--batch-sweep", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=0)
@@ -524,6 +680,10 @@ if __name__ == "__main__":
         bench_driver(args.scene_px, args.epochs)
     elif args.pretrain:
         bench_pretrain()
+    elif args.wsss:
+        bench_wsss()
+    elif args.rsss:
+        bench_rsss()
     elif args.batch_sweep:
         bench_batch_sweep()
     elif args.scaling:

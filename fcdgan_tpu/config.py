@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import typing
 from typing import Optional, Tuple
 
 
@@ -68,6 +69,7 @@ class USSSConfig:
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
     vgg_npz: Optional[str] = None
+    require_vgg: bool = False  # hard-fail if no pretrained VGG16 npz is found
     prefetch_depth: int = 2
     log_tensorboard: bool = True
     save_checkpoints: bool = True
@@ -139,6 +141,7 @@ class WSSSConfig:
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
     vgg_npz: Optional[str] = None
+    require_vgg: bool = False  # hard-fail if no pretrained VGG16 npz is found
     prefetch_depth: int = 2
     log_tensorboard: bool = True
     save_checkpoints: bool = True
@@ -216,37 +219,66 @@ class RSSSConfig:
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
     vgg_npz: Optional[str] = None
+    require_vgg: bool = False  # hard-fail if no pretrained VGG16 npz is found
     prefetch_depth: int = 2
     log_tensorboard: bool = True
     save_checkpoints: bool = True
     progress: bool = True
 
 
-def _parse_tuple(s: str):
-    return tuple(float(v) if "." in v else int(v) for v in s.split(","))
+def _parse_bool(s: str) -> bool:
+    return s.lower() in ("1", "true", "yes")
+
+
+def _tuple_parser(tp):
+    """Comma-separated tuple parser, casting per the annotation's element
+    types (``Tuple[int, int]`` casts each to int; ``Tuple[float, ...]`` casts
+    all to float; untyped tuples infer int-vs-float per token)."""
+    el = typing.get_args(tp)
+
+    def parse(s: str):
+        toks = [t for t in s.split(",") if t != ""]
+        if el and el[-1] is Ellipsis:
+            return tuple(el[0](t) for t in toks)
+        if el and len(el) == len(toks):
+            return tuple(cast(t) for cast, t in zip(el, toks))
+        return tuple(float(v) if "." in v else int(v) for v in toks)
+
+    return parse
+
+
+def _unwrap_optional(tp):
+    """Optional[X] / X | None -> X (the non-None member)."""
+    if typing.get_origin(tp) in (typing.Union, getattr(__import__("types"), "UnionType", ())):
+        non_none = [a for a in typing.get_args(tp) if a is not type(None)]
+        if len(non_none) == 1:
+            return non_none[0]
+    return tp
 
 
 def parse_cli(config_cls, argv=None):
     """Build a config from CLI flags: every dataclass field becomes --field.
 
-    Field types come from the annotation string (not the default value), so
-    Optional fields with ``None`` defaults still parse — e.g.
-    ``--msssim-weights 0.5,0.5`` is a tuple and ``--n-devices 8`` an int."""
+    Field types are RESOLVED from the annotations via
+    ``typing.get_type_hints`` (not substring-matched against the annotation
+    string), so ``Optional[float]``, ``Optional[Tuple[float, ...]]`` etc.
+    parse by their real type — ``--msssim-weights 0.5,0.5`` is a float tuple
+    and ``--n-devices 8`` an int even though both default to ``None``."""
+    hints = typing.get_type_hints(config_cls)
     ap = argparse.ArgumentParser(description=config_cls.__doc__)
     for f in dataclasses.fields(config_cls):
         name = "--" + f.name.replace("_", "-")
-        default = f.default
-        ann = str(f.type)
-        if "bool" in ann or isinstance(default, bool):
-            ap.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                            default=default)
-        elif "Tuple" in ann or "tuple" in ann or isinstance(default, tuple):
-            ap.add_argument(name, type=_parse_tuple, default=default)
-        elif "int" in ann or (isinstance(default, int) and not isinstance(default, bool)):
-            ap.add_argument(name, type=int, default=default)
-        elif "float" in ann or isinstance(default, float):
-            ap.add_argument(name, type=float, default=default)
+        tp = _unwrap_optional(hints[f.name])
+        if tp is bool:
+            parser = _parse_bool
+        elif typing.get_origin(tp) is tuple or tp is tuple:
+            parser = _tuple_parser(tp)
+        elif tp in (int, float, str):
+            parser = tp
         else:
-            ap.add_argument(name, type=str, default=default)
+            raise TypeError(
+                f"{config_cls.__name__}.{f.name}: unsupported CLI field type "
+                f"{hints[f.name]!r} — add a parser branch in parse_cli")
+        ap.add_argument(name, type=parser, default=f.default)
     args = ap.parse_args(argv)
     return config_cls(**{f.name: getattr(args, f.name) for f in dataclasses.fields(config_cls)})

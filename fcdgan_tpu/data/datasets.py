@@ -227,12 +227,20 @@ class OSCDDataset:
             line = f.readline().strip()
         filenames = [n for n in line.split(",") if n]
 
+        # validate up-front, before any scene is opened (parity: the
+        # reference checks inside its loop too late, data_utils.py:341-346 —
+        # a wrong-length list should fail fast, not IndexError mid-build)
+        if scaler is not None and len(scaler) != len(filenames):
+            raise ValueError("The list of scaler doesn't match the file list")
+        if transforms is not None and len(transforms) != len(filenames):
+            raise ValueError("The list of transforms doesn't match the file list")
+
         self.dslist: List[RegionScenePairDataset] = []
         self.numlist: List[int] = []
         self.namelist: List[str] = []
         self.pathlist: List[List[str]] = []
 
-        for name in filenames:
+        for idx, name in enumerate(filenames):
             cur = os.path.join(img_dir, name, "ImagePair")
             imgs = sorted(
                 x for x in os.listdir(cur)
@@ -252,13 +260,8 @@ class OSCDDataset:
             pg = os.path.join(cur, regions[0])
             self.pathlist.append([px, py, pr, pg])
 
-            idx = filenames.index(name)
             cur_scaler = None if scaler is None else scaler[idx]
             cur_tf = None if transforms is None else transforms[idx]
-            if scaler is not None and len(scaler) != len(filenames):
-                raise ValueError("The list of scaler doesn't match the file list")
-            if transforms is not None and len(transforms) != len(filenames):
-                raise ValueError("The list of transforms doesn't match the file list")
 
             ds = RegionScenePairDataset(
                 px, py, region_path=pg, ref_path=pr, enhance=cur_scaler,

@@ -118,7 +118,7 @@ def run(cfg: RSSSConfig) -> Dict:
                        siamese_stats=cfg.siamese_stats)
     net_d = Discriminator(nband, dtype=dtype)
     tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
-    vggp = load_vgg16_params(cfg.vgg_npz)
+    vggp = load_vgg16_params(cfg.vgg_npz, require=cfg.require_vgg)
     steps = RSSSSteps(
         net_g, net_s, net_d, tx_g, tx_s, tx_d, vggp,
         PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band,

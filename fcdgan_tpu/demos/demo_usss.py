@@ -103,7 +103,7 @@ def run(cfg: USSSConfig) -> Dict:
     net_s = Segmentor(nband, bilinear=True, dtype=dtype,
                        siamese_stats=cfg.siamese_stats)
     tx_g, tx_s = adam(), adam()
-    vggp = load_vgg16_params(cfg.vgg_npz)
+    vggp = load_vgg16_params(cfg.vgg_npz, require=cfg.require_vgg)
     steps = USSSSteps(
         net_g, net_s, tx_g, tx_s, vggp,
         PerceptionConfig(select_feature_layers(cfg.perception_layer), cfg.perception_per_band,

@@ -524,7 +524,8 @@ def max_pool_2x2_wsplit(x: jnp.ndarray) -> jnp.ndarray:
 def pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch the 2x2/2 max pool (FCDGAN_POOL=pallas|wsplit|mask|xla;
     default xla select_and_scatter — see each alternative's docstring for
-    its measured A/B)."""
+    its measured A/B; pallas measured 9.4x SLOWER than select_and_scatter
+    at block-2 shapes on v5e, round 3 — default stays xla)."""
     import os
 
     mode = os.environ.get("FCDGAN_POOL")
@@ -536,10 +537,13 @@ def pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
         return max_pool_2x2_wsplit(x)
     if mode == "pallas":
         # fused recompute backward (ops/pallas/pool_bwd.py): identical
-        # routing to select_and_scatter, one VMEM pass instead of a scatter
-        from ..ops.pallas.pool_bwd import max_pool_2x2_fused
+        # routing to select_and_scatter, one VMEM pass instead of a scatter.
+        # Falls through to XLA where the kernel can't run (f32: Mosaic
+        # rejects the W-split reshape; tiny/VMEM-oversized blocks).
+        from ..ops.pallas.pool_bwd import max_pool_2x2_fused, use_pallas_pool
 
-        return max_pool_2x2_fused(x)
+        if use_pallas_pool(x.shape, x.dtype):
+            return max_pool_2x2_fused(x)
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 

@@ -19,6 +19,7 @@ bands through VGG sequentially, Loss.py:52-60).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -104,11 +105,19 @@ def vgg16_random_params(seed: int = 0, dtype=jnp.float32) -> Dict[str, np.ndarra
     return params
 
 
-def load_vgg16_params(path: Optional[str] = None) -> Dict[str, np.ndarray]:
+def load_vgg16_params(
+    path: Optional[str] = None, require: bool = False
+) -> Dict[str, np.ndarray]:
     """Load converted torchvision weights from ``.npz``; random fallback.
 
     Search order: explicit ``path`` -> ``$FCDGAN_VGG16_NPZ`` -> bundled asset
     ``fcdgan_tpu/assets/vgg16_features.npz`` -> fixed-seed random.
+
+    The random fallback is a *different* perceptual metric than the
+    reference's pretrained VGG16 (Loss.py:25-28) — functional, but not
+    reference-parity (bound measured in VGG16_WEIGHTS.md). Falling back
+    therefore WARNS loudly once per process; ``require=True`` (drivers:
+    ``--require-vgg true``; env ``FCDGAN_REQUIRE_VGG=1``) hard-fails instead.
     """
     candidates = []
     if path:
@@ -121,7 +130,27 @@ def load_vgg16_params(path: Optional[str] = None) -> Dict[str, np.ndarray]:
         if c and os.path.exists(c):
             with np.load(c) as z:
                 return {k: z[k] for k in z.files}
+    if require or os.environ.get("FCDGAN_REQUIRE_VGG") == "1":
+        raise FileNotFoundError(
+            "no pretrained VGG16 weights found (searched: %s); the perception "
+            "loss requires vgg16_features.npz — produce it with "
+            "tools/convert_vgg.py on a machine with torchvision, then pass "
+            "--vgg-npz / set $FCDGAN_VGG16_NPZ (see VGG16_WEIGHTS.md)"
+            % ", ".join(candidates))
+    global _WARNED_FALLBACK
+    if not _WARNED_FALLBACK:
+        _WARNED_FALLBACK = True
+        print(
+            "WARNING fcdgan_tpu: no pretrained VGG16 weights found — the "
+            "perception loss is using a FIXED-SEED RANDOM VGG, which is NOT "
+            "the reference's pretrained perceptual metric (Loss.py:25-28). "
+            "Convert weights with tools/convert_vgg.py and pass --vgg-npz, "
+            "or pass --require-vgg true to fail instead (VGG16_WEIGHTS.md).",
+            file=sys.stderr, flush=True)
     return vgg16_random_params()
+
+
+_WARNED_FALLBACK = False
 
 
 def vgg16_features(
@@ -144,7 +173,7 @@ def vgg16_features(
     li = 0
     seq = 0
     h = x if dtype is None else x.astype(dtype)
-    from .layers import max_pool_2x2
+    from .layers import max_pool_2x2, pool_2x2
     from ..ops.s2d_conv import (
         depth_to_space_w, s2d_mode, s2d_w_kernel, space_to_depth_w,
     )
@@ -187,9 +216,9 @@ def vgg16_features(
                 # measured SLOWER than XLA's select_and_scatter here)
                 h = max_pool_2x2(h)
             else:
-                h = jax.lax.reduce_window(
-                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-                )
+                # routes FCDGAN_POOL=pallas|wsplit too (default: XLA
+                # select_and_scatter), so pool A/Bs cover the VGG trunk
+                h = pool_2x2(h)
             seq += 1
         else:
             if seq > deepest:

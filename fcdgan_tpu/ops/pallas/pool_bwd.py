@@ -1,10 +1,19 @@
 """Fused 2x2/2 max-pool backward — one VMEM pass over (x, dy) -> dx.
 
 XLA's default backward for ``reduce_window(max)`` is a select_and_scatter
-op (~5 ms/step across the segmentor+VGG pools at the production USSS config,
-per the device trace). This kernel recomputes the routing from ``x`` and
-writes ``dx`` in a single elementwise pass: read x once, read dy once, write
-dx once — pure VPU selects at HBM bandwidth, no scatter.
+op. This kernel recomputes the routing from ``x`` and writes ``dx`` in a
+single elementwise pass: read x once, read dy once, write dx once — pure VPU
+selects, no scatter.
+
+MEASURED NET-NEGATIVE on v5e (round 3, chained-in-jit timing that defeats
+the axon relay's async dispatch): at the segmentor block-2 shape
+(20x110x110x128 bf16) this kernel runs 1.695 ms vs XLA select_and_scatter's
+0.180 ms — the in-kernel W-split reshapes force Mosaic relayouts that cost
+far more than the scatter they replace. At block-1 (c=64) Mosaic cannot
+compile it at all ("infer-vector-layout: unsupported shape cast" on the
+sub-128-lane unit-dim reshape), and f32 fails the same way at any width.
+THE DEFAULT THEREFORE STAYS XLA everywhere; FCDGAN_POOL=pallas remains the
+measured opt-in (bf16, c>=128 only — use_pallas_pool gates it).
 
 Tie routing matches XLA select_and_scatter / torch max_pool2d exactly
 (row-major first max): the W-axis first-wins select composed with the H-axis
@@ -46,6 +55,12 @@ def use_pallas_pool(shape: Tuple[int, ...], dtype) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
+    if jnp.dtype(dtype) == jnp.float32:
+        # Mosaic (v5e) rejects the kernel's W-split reshape on f32 blocks
+        # ("infer-vector-layout: unsupported shape cast"); the same reshape
+        # compiles and is exact on bf16 (probed round 3). f32 pools keep
+        # XLA's select_and_scatter.
+        return False
     n, h, w, c = shape
     if h < 2 or w < 2:
         return False
@@ -64,10 +79,14 @@ def _pool_bwd_kernel(ho_total: int, x_ref, dy_ref, dx_ref):
 
     xr = xb.reshape(rb2, wo, 2, c)
     a, b = xr[:, :, 0, :], xr[:, :, 1, :]
-    wsel = a >= b  # first-wins along W
+    # comparisons run in f32: Mosaic on v5e rejects sub-32-bit vector cmpf
+    # ("Target does not support this comparison"), and bf16->f32 is lossless
+    # so the routing is bit-identical
+    cmp = jnp.float32 if xb.dtype != jnp.float32 else xb.dtype
+    wsel = a.astype(cmp) >= b.astype(cmp)  # first-wins along W
     m = jnp.where(wsel, a, b)  # (2RB, Wo, C)
     m2 = m.reshape(rb2 // 2, 2, wo, c)
-    hsel = m2[:, 0] >= m2[:, 1]  # first-wins along H, (RB, Wo, C)
+    hsel = m2[:, 0].astype(cmp) >= m2[:, 1].astype(cmp)  # first-wins along H
 
     zero = jnp.zeros((), dyb.dtype)
     dm = jnp.stack(

@@ -46,3 +46,42 @@ def test_cli_optional_tuple_and_int_fields():
 def test_cli_rejects_malformed_tuple():
     with pytest.raises(SystemExit):
         parse_cli(USSSConfig, ["--patch-size", "banana"])
+
+
+def test_cli_types_resolved_not_substring_matched():
+    """parse_cli resolves real types via typing.get_type_hints: a future
+    Optional[float]/Optional[Tuple[float, ...]] field parses by type, and an
+    unsupported field type is a loud TypeError, not a silent str fallback
+    (VERDICT r2 weak #6)."""
+    import dataclasses
+    from typing import Optional, Tuple
+
+    @dataclasses.dataclass
+    class Future:
+        """synthetic config exercising annotations the real ones lack"""
+        lr_min: Optional[float] = None
+        name: str = "x"
+        points: Tuple[int, int] = (1, 2)
+        weights: Optional[Tuple[float, ...]] = None
+        flag: Optional[bool] = None
+
+    cfg = parse_cli(Future, ["--lr-min", "3", "--points", "4,5",
+                             "--weights", "1,2", "--flag", "true"])
+    assert cfg.lr_min == 3.0 and isinstance(cfg.lr_min, float)
+    assert cfg.points == (4, 5) and all(isinstance(v, int) for v in cfg.points)
+    assert cfg.weights == (1.0, 2.0) and all(isinstance(v, float) for v in cfg.weights)
+    assert cfg.flag is True
+
+    @dataclasses.dataclass
+    class Unsupported:
+        """field type parse_cli has no parser for"""
+        stuff: Optional[dict] = None
+
+    with pytest.raises(TypeError, match="unsupported CLI field type"):
+        parse_cli(Unsupported, [])
+
+
+def test_cli_require_vgg_flag():
+    cfg = parse_cli(USSSConfig, ["--require-vgg", "true"])
+    assert cfg.require_vgg is True
+    assert USSSConfig().require_vgg is False

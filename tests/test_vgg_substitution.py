@@ -139,3 +139,48 @@ def test_vgg_fastpool_matches_reduce_window():
     # evenly (sum-preserving) and select_and_scatter picks one winner
     np.testing.assert_allclose(float(g1.sum()), float(g2.sum()), rtol=1e-4)
     assert FEATURE_LAYER_LIST == (29, 22, 15, 8, 3)
+
+
+def test_fallback_warns_loudly_once(capsys):
+    """The random-VGG fallback is NOT the reference's perceptual metric
+    (Loss.py:25-28): falling back must print a one-line warning (once per
+    process), and an explicit npz must not (VERDICT r2 missing #1)."""
+    import fcdgan_tpu.models.vgg as vggmod
+
+    vggmod._WARNED_FALLBACK = False
+    load_vgg16_params()
+    err = capsys.readouterr().err
+    assert "RANDOM VGG" in err and "convert_vgg" in err
+    load_vgg16_params()  # second call stays quiet
+    assert "RANDOM VGG" not in capsys.readouterr().err
+    vggmod._WARNED_FALLBACK = False
+
+
+def test_fallback_silent_with_explicit_npz(tmp_path, capsys):
+    import fcdgan_tpu.models.vgg as vggmod
+
+    params = vgg16_random_params(3)
+    path = tmp_path / "vgg16_features.npz"
+    np.savez(path, **params)
+    vggmod._WARNED_FALLBACK = False
+    load_vgg16_params(str(path))
+    assert "RANDOM VGG" not in capsys.readouterr().err
+
+
+def test_require_vgg_hard_fails(tmp_path):
+    """require=True (driver --require-vgg) and FCDGAN_REQUIRE_VGG=1 raise
+    instead of silently substituting the random metric."""
+    with pytest.raises(FileNotFoundError, match="convert_vgg"):
+        load_vgg16_params(require=True)
+    os.environ["FCDGAN_REQUIRE_VGG"] = "1"
+    try:
+        with pytest.raises(FileNotFoundError):
+            load_vgg16_params()
+    finally:
+        del os.environ["FCDGAN_REQUIRE_VGG"]
+    # a present npz satisfies require
+    params = vgg16_random_params(3)
+    path = tmp_path / "vgg16_features.npz"
+    np.savez(path, **params)
+    loaded = load_vgg16_params(str(path), require=True)
+    assert "conv0_kernel" in loaded
