@@ -109,19 +109,48 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
             # warm the jit before timing
             stitched_inference(ds, infer, sstate, batch_size=10,
                                density_dtype=dd)
-            ds2 = ScenePairDataset(paths["x"], paths["y"], out_path=out,
-                                   patch_size=(220, 220), overlap_padding=(10, 10))
-            return stitched_inference(ds2, infer, sstate, batch_size=10,
-                                      density_dtype=dd)
+            reps = []
+            for _ in range(3):  # repetitions: the relay's transfer latency
+                # is noisy (round-2 recorded 0.373-1.013 Mpx/s for the same
+                # config); report the median
+                ds2 = ScenePairDataset(paths["x"], paths["y"], out_path=out,
+                                       patch_size=(220, 220),
+                                       overlap_padding=(10, 10))
+                reps.append(stitched_inference(ds2, infer, sstate,
+                                               batch_size=10, density_dtype=dd))
+            reps.sort(key=lambda st: st["px_per_s"])
+            return reps[1], [round(st["px_per_s"] / 1e6, 3) for st in reps]
 
-        base = run("float32")
-        stats = base if density_dtype == "float32" else run(density_dtype)
+        base, base_reps = run("float32")
+        stats, rep_vals = ((base, base_reps) if density_dtype == "float32"
+                           else run(density_dtype))
+
+        # device-compute-only px/s: chained in-jit loop over the segmentor
+        # forward (defeats the relay's async dispatch; no host I/O) — the
+        # compute ceiling the pipeline would hit on a local-PCIe host
+        rng = np.random.default_rng(0)
+        xb = jnp.asarray(rng.normal(size=(10, 220, 220, 3)).astype(np.float32))
+        yb = jnp.asarray(rng.normal(size=(10, 220, 220, 3)).astype(np.float32))
+
+        def chain(st, x, y):
+            def body(i, acc):
+                d = model.apply(st.variables, x + acc, y, train=False)
+                return acc + jnp.mean(d.astype(jnp.float32))
+            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+        cj = jax.jit(chain)
+        float(cj(sstate, xb, yb))
+        t0 = time.perf_counter()
+        float(cj(sstate, xb, yb))
+        compute_mpx = 20 * 10 * 220 * 220 / (time.perf_counter() - t0) / 1e6
 
     print(json.dumps({
         "metric": f"usss_infer_throughput_{density_dtype}",
         "value": round(stats["px_per_s"] / 1e6, 3),
         "unit": "Mpx/s",
         "vs_baseline": round(stats["px_per_s"] / base["px_per_s"], 3),
+        "reps_mpx_per_s": rep_vals,
+        "device_compute_mpx_per_s": round(compute_mpx, 2),
     }))
 
 
@@ -149,7 +178,11 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
     from fcdgan_tpu.train.schedules import JOINT_USSS
 
     with tempfile.TemporaryDirectory() as td:
-        paths = make_usss_scene(td, scene_px, scene_px, 3)
+        # uint16 scene: real Sentinel-2/aerial rasters are integral — this is
+        # what enables the raw-upload device_normalize path the drivers use
+        # (FCDGAN_DRIVER_DTYPE=float32 to bench the f32-raster fallback)
+        scene_dt = os.environ.get("FCDGAN_DRIVER_DTYPE", "uint16")
+        paths = make_usss_scene(td, scene_px, scene_px, 3, dtype=scene_dt)
         stats_ds = ScenePairDataset(paths["x"], paths["y"],
                                     patch_size=(220, 220), overlap_padding=(0, 0))
         sp1, sp2 = os.path.join(td, "s1.txt"), os.path.join(td, "s2.txt")
@@ -159,31 +192,53 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
                                    overlap_padding=(10, 10))
         steps, gstate, sstate, _ = _setup_usss_step(batch=10)
         steps.interior = jnp.asarray(dataset.interior_sizes(), jnp.int32)
+        placer = None
         try:
-            from fcdgan_tpu.data.pipeline import NativeSceneBatchLoader
+            from fcdgan_tpu.data.pipeline import (
+                DeviceNormalizer, NativeSceneBatchLoader)
 
-            loader = NativeSceneBatchLoader(dataset, 10, shuffle=True, seed=0)
+            raw = NativeSceneBatchLoader.supports_device_normalize(dataset)
+            loader = NativeSceneBatchLoader(dataset, 10, shuffle=True, seed=0,
+                                            device_normalize=raw)
+            if raw:
+                placer = DeviceNormalizer(scaler, 3)
         except Exception:
             loader = BatchLoader(dataset, 10, fields=("x", "y", "item", "ref"),
                                  shuffle=True, seed=0)
 
-        def epoch(i):
+        budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0}
+
+        def epoch(i, timed=False):
             nonlocal gstate, sstate
             av = EpochAverages(len(dataset))
             lr = JOINT_USSS(i)
-            for batch in prefetch(iter(loader), 2):
+            it = prefetch(iter(loader), 2)
+            while True:
+                t0 = time.perf_counter()
+                batch = next(it, None)
+                if batch is None:
+                    break
+                t1 = time.perf_counter()
                 db = shard_batch(batch, None)
+                if placer is not None:
+                    db = placer(db)
+                t2 = time.perf_counter()
                 gstate, sstate, m = steps.joint(
                     gstate, sstate, db["x"], db["y"], db["ref"], db["item"],
                     db["weight"], lr, lr)
                 av.update(m, float(np.asarray(batch["weight"]).sum()))
+                t3 = time.perf_counter()
+                if timed:
+                    budget["load_s"] += t1 - t0
+                    budget["put_s"] += t2 - t1
+                    budget["dispatch_s"] += t3 - t2
             return av["NetLoss"]  # downloads epoch totals (the real sync)
 
         gstate, sstate = map(jax.device_put, (gstate, sstate))
         epoch(0)  # warm: compile + caches
         t0 = time.perf_counter()
         for i in range(epochs):
-            epoch(i + 1)
+            epoch(i + 1, timed=True)
         dt = time.perf_counter() - t0
 
     px = len(dataset) * 220 * 220 * epochs
@@ -195,6 +250,13 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
         "scene_px": scene_px,
         "tiles_per_epoch": len(dataset),
         "mpx_per_s": round(px / dt / 1e6, 3),
+        "device_normalize": placer is not None,
+        "scene_dtype": scene_dt,
+        # host-side budget: time the main thread spent waiting on the loader
+        # vs placing batches vs dispatching steps + (mostly) device execution
+        "budget_ms_per_batch": {
+            k: round(v / max(epochs, 1) / max(len(loader), 1) * 1e3, 1)
+            for k, v in budget.items()},
     }))
 
 

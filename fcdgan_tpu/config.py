@@ -54,6 +54,9 @@ class USSSConfig:
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
+    # 'auto'/'on'/'off': ship RAW integral tiles, normalize + pad-mask on
+    # device (2-4x fewer upload bytes; <=1 ulp vs host normalize)
+    device_normalize: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;

@@ -161,10 +161,20 @@ class NativeSceneBatchLoader(BatchLoader):
     still goes through the Python path (it's a fraction of the bytes).
 
     Falls back to the plain Python loader semantics for everything else —
-    identical batches, same fields, same wrap padding."""
+    identical batches, same fields, same wrap padding.
+
+    ``device_normalize=True`` ships RAW tiles in the rasters' native dtype
+    (u8/u16/...) plus per-tile write windows, and leaves the per-band
+    (v-mean)/std + zero-pad masking to :class:`DeviceNormalizer` ON DEVICE —
+    2-4x fewer host->device bytes for integral rasters (the upload path is
+    the measured driver bottleneck on remote-relay links, and the cut feeds
+    multi-chip DP on real hardware too). Requires a Normalize enhance and a
+    shared integral raster dtype; refuse otherwise (use
+    ``supports_device_normalize`` to probe)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, n_threads: Optional[int] = None):
+                 seed: int = 0, n_threads: Optional[int] = None,
+                 device_normalize: bool = False):
         from .. import native
 
         if not native.native_available():
@@ -183,26 +193,72 @@ class NativeSceneBatchLoader(BatchLoader):
         self._asm = native.NativePairAssembler(
             dataset.raster_x.path, dataset.raster_y.path,
             dataset.patch_size, dataset.overlap_padding,
-            n_threads=n_threads, **kw)
+            n_threads=n_threads, **(dict() if device_normalize else kw))
+        self.device_normalize = bool(device_normalize)
+        if self.device_normalize:
+            if enhance is None or not kw:
+                raise ValueError("device_normalize requires a Normalize enhance")
+            code = self._asm.rx.dtype_code
+            if code != self._asm.ry.dtype_code or code not in (0, 1, 2, 3, 4, 5):
+                raise ValueError(
+                    "device_normalize requires a shared integral raster dtype")
+            # per-item write windows (x0, y0, w, h) — pure grid arithmetic
+            wins = []
+            for i in range(len(dataset)):
+                _, _, write = dataset.grid.slices(i)
+                wins.append(write)
+            self._wins = np.asarray(wins, np.int32)
+            rr = dataset.raster_ref
+            self._ref_dtype = (
+                rr.dtype if rr is not None and np.issubdtype(rr.dtype, np.integer)
+                and rr.dtype.itemsize <= 2 else np.dtype(np.float32))
         super().__init__(dataset, batch_size, fields=("x", "y", "item", "ref"),
                          shuffle=shuffle, seed=seed)
 
+    @staticmethod
+    def supports_device_normalize(dataset) -> bool:
+        """True when this dataset can ship raw tiles for on-device
+        normalization (native loader up, Normalize enhance, no transforms,
+        shared integral raster dtype)."""
+        from .. import native
+        from .normalize import Normalize
+
+        if not native.native_available() or dataset.transforms is not None:
+            return False
+        if not isinstance(dataset.enhance, Normalize):
+            return False
+        try:
+            rx = native.NativeRaster(dataset.raster_x.path)
+            ry = native.NativeRaster(dataset.raster_y.path)
+            ok = (rx.dtype_code == ry.dtype_code
+                  and rx.dtype_code in (0, 1, 2, 3, 4, 5))
+            rx.close()
+            ry.close()
+            return ok
+        except Exception:
+            return False
+
     def __iter__(self) -> Iterator[Batch]:
+        raw = self.device_normalize
+        ph, pw = self.dataset.patch_size[1], self.dataset.patch_size[0]
+        ref_dt = self._ref_dtype if raw else np.float32
         for idx, weight in self._index_batches():
-            x, y = self._asm.assemble(idx.tolist())
+            if raw:
+                x, y = self._asm.assemble_raw(idx.tolist())
+            else:
+                x, y = self._asm.assemble(idx.tolist())
             refs = []
-            ph, pw = self.dataset.patch_size[1], self.dataset.patch_size[0]
             for i in idx:
+                ref = np.zeros((ph, pw, 1), ref_dt)
                 if self.dataset.raster_ref is not None:
                     _, read, write = self.dataset.grid.slices(int(i))
-                    ref = np.zeros((ph, pw, 1), np.float32)
-                    r = self.dataset.raster_ref.read_block(*read).astype(np.float32)
+                    r = self.dataset.raster_ref.read_block(*read).astype(ref_dt)
                     ref[write[1]:write[1] + write[3], write[0]:write[0] + write[2], :] = r
-                else:
-                    ref = np.zeros((ph, pw, 1), np.float32)
                 refs.append(ref)
             batch = Batch(x=x, y=y, item=np.asarray(idx, np.int64),
                           ref=np.stack(refs), weight=weight)
+            if raw:
+                batch["win"] = self._wins[np.asarray(idx, np.int64)]
             yield batch
 
 
@@ -382,6 +438,52 @@ class NativeWHUPairBatchLoader(BatchLoader):
                         c_item=np.asarray(idx_c, np.int64),
                         **{f"nc_{k}": v for k, v in bnc.items()},
                         nc_item=np.asarray(idx_nc, np.int64))
+
+
+class DeviceNormalizer:
+    """Device-side completion of a raw batch: per-band affine
+    ``(v - mean) / std`` plus zero-pad masking from the per-tile write
+    windows, in one tiny jitted elementwise pass (fused by XLA; the f32
+    canvases never cross the host->device link).
+
+    Numerics: the same f32 subtract/divide as the host Normalize
+    (data/normalize.py) — agreement is within 1 ulp (TPU f32 division may
+    differ in the last place from numpy's; asserted in
+    tests/test_native.py)."""
+
+    def __init__(self, normalize, nband: int):
+        import jax
+        import jax.numpy as jnp
+
+        mx = np.asarray(normalize.meansX[:nband], np.float32)
+        sx = np.asarray(normalize.stdX[:nband], np.float32)
+        my = np.asarray(normalize.meansY[:nband], np.float32)
+        sy = np.asarray(normalize.stdY[:nband], np.float32)
+
+        def prep(x_raw, y_raw, ref_raw, win):
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, x_raw.shape[1], 1, 1), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x_raw.shape[2], 1), 2)
+            x0 = win[:, 0][:, None, None, None]
+            y0 = win[:, 1][:, None, None, None]
+            ww = win[:, 2][:, None, None, None]
+            wh = win[:, 3][:, None, None, None]
+            mask = (row >= y0) & (row < y0 + wh) & (col >= x0) & (col < x0 + ww)
+            xf = (x_raw.astype(jnp.float32) - mx) / sx
+            yf = (y_raw.astype(jnp.float32) - my) / sy
+            zero = jnp.float32(0)
+            return (jnp.where(mask, xf, zero), jnp.where(mask, yf, zero),
+                    ref_raw.astype(jnp.float32))
+
+        self._prep = jax.jit(prep, donate_argnums=(0, 1, 2))
+
+    def __call__(self, batch: Dict) -> Dict:
+        """Raw device batch (x, y, ref, win, ...) -> normalized f32 batch."""
+        if "win" not in batch:
+            return batch
+        x, y, ref = self._prep(batch["x"], batch["y"], batch["ref"], batch["win"])
+        out = Batch({k: v for k, v in batch.items() if k != "win"})
+        out["x"], out["y"], out["ref"] = x, y, ref
+        return out
 
 
 def device_put_batch(batch: Dict, sharding=None) -> Dict:

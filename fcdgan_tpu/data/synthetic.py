@@ -54,18 +54,25 @@ def _scene_pair(rng, ysize: int, xsize: int, nband: int, rects: Sequence[Rect]):
 
 def make_usss_scene(out_dir: str, xsize: int = 96, ysize: int = 96, nband: int = 3,
                     rects: Sequence[Rect] = ((20, 24, 18, 14), (60, 60, 16, 20)),
-                    seed: int = 0) -> dict:
+                    seed: int = 0, dtype=np.float32) -> dict:
+    """``dtype``: sample type of the bi-temporal rasters (np.uint16 mimics
+    real Sentinel-2/aerial scenes and exercises the raw-upload
+    device_normalize path; values are rounded before writing)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     x, y, mask = _scene_pair(rng, ysize, xsize, nband, rects)
+    dtype = np.dtype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        x = np.round(x).astype(dtype)
+        y = np.round(y).astype(dtype)
     paths = {
         "x": os.path.join(out_dir, "T1.tif"),
         "y": os.path.join(out_dir, "T2.tif"),
         "ref": os.path.join(out_dir, "ref.tif"),
     }
-    with TiffWriter(paths["x"], xsize, ysize, nband, np.float32, GT, PROJ) as w:
+    with TiffWriter(paths["x"], xsize, ysize, nband, dtype, GT, PROJ) as w:
         w.write_block(x)
-    with TiffWriter(paths["y"], xsize, ysize, nband, np.float32, GT, PROJ) as w:
+    with TiffWriter(paths["y"], xsize, ysize, nband, dtype, GT, PROJ) as w:
         w.write_block(y)
     # reference coded {1 unchanged, 2 changed} (Demo_USSS.py:64 gt_map=[1,2])
     with TiffWriter(paths["ref"], xsize, ysize, 1, np.uint8, GT, PROJ) as w:

@@ -77,24 +77,47 @@ def run(cfg: USSSConfig) -> Dict:
                                overlap_padding=cfg.overlap_padding)
     total = len(dataset)
     # native C++ threaded tile assembly when the toolchain is available;
-    # identical batches through the Python path otherwise
+    # identical batches through the Python path otherwise. device_normalize
+    # ("auto"/"on"/"off"): ship RAW integral tiles and run the per-band
+    # (v-mean)/std + pad masking on device — 2-4x fewer host->device bytes
+    # (the measured driver bottleneck on remote links; parity <=1 ulp,
+    # tests/test_native.py). auto = on whenever the native loader + an
+    # integral raster dtype allow it (single-process only).
     loader = None
+    device_norm = False
     try:
         from ..data.pipeline import NativeSceneBatchLoader
 
+        want_raw = (cfg.device_normalize != "off" and not multihost
+                    and NativeSceneBatchLoader.supports_device_normalize(dataset))
         loader = NativeSceneBatchLoader(dataset, cfg.batch_size,
-                                        shuffle=True, seed=cfg.seed)
+                                        shuffle=True, seed=cfg.seed,
+                                        device_normalize=want_raw)
+        device_norm = want_raw
     except Exception:
+        if cfg.device_normalize == "on":
+            raise
         loader = BatchLoader(dataset, cfg.batch_size,
                              fields=("x", "y", "item", "ref"),
                              shuffle=True, seed=cfg.seed)
+    if cfg.device_normalize == "on" and not device_norm:
+        raise RuntimeError(
+            "--device-normalize on: needs the native loader and a shared "
+            "integral raster dtype (and a single process)")
 
     mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
+    placer = None
+    if device_norm:
+        from ..data.pipeline import DeviceNormalizer
+
+        placer = DeviceNormalizer(scaler, dataset.size()[2])
 
     def put(batch):
         if mesh is not None:
-            return put_multihost(batch, mesh)  # single-process: plain DP path
-        return shard_batch(batch, mesh)
+            db = put_multihost(batch, mesh)  # single-process: plain DP path
+        else:
+            db = shard_batch(batch, mesh)
+        return placer(db) if placer is not None else db
 
     # -- models / steps (Demo_USSS.py:110-122) -------------------------------
     nband = dataset.size()[2]

@@ -76,8 +76,21 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         lib.tio_close.argtypes = [ctypes.c_int64]
+        lib.tio_dtype.restype = ctypes.c_int
+        lib.tio_dtype.argtypes = [ctypes.c_int64]
+        lib.tio_assemble_batch_raw.restype = ctypes.c_int
+        lib.tio_assemble_batch_raw.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
+
+
+#: DType enum codes (tileio.cpp) -> numpy dtypes
+DTYPE_CODES = {0: np.uint8, 1: np.int8, 2: np.uint16, 3: np.int16,
+               4: np.uint32, 5: np.int32, 6: np.float32, 7: np.float64}
 
 
 def native_available() -> bool:
@@ -103,6 +116,8 @@ class NativeRaster:
         xs, ys, nb = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
         lib.tio_info(self._h, ctypes.byref(xs), ctypes.byref(ys), ctypes.byref(nb))
         self.xsize, self.ysize, self.nband = xs.value, ys.value, nb.value
+        self.dtype_code = int(lib.tio_dtype(self._h))
+        self.dtype = np.dtype(DTYPE_CODES.get(self.dtype_code, np.float32))
         self.path = path
 
     def read_block(self, xoff=0, yoff=0, w=None, h=None) -> np.ndarray:
@@ -213,6 +228,32 @@ class NativePairAssembler:
             self.n_threads)
         if rc != 0:
             raise ValueError(f"native assemble failed rc={rc}")
+        return out_x, out_y
+
+    def assemble_raw(self, items: Sequence[int]):
+        """Zero-padded tile canvases in the rasters' NATIVE dtype, with NO
+        normalization — the payload for device-side normalization (the
+        affine (v-mean)/std + pad masking runs on the TPU; see
+        data/pipeline.py DeviceNormalizer). Integral samples round-trip
+        exactly. Requires both rasters to share one non-f64 dtype."""
+        code = self.rx.dtype_code
+        if code != self.ry.dtype_code or code not in DTYPE_CODES or code == 7:
+            raise ValueError("raw assembly needs one shared non-f64 dtype")
+        dt = DTYPE_CODES[code]
+        n = len(items)
+        pw, ph = self.patch_size
+        items_arr = np.ascontiguousarray(np.asarray(items, np.int64))
+        out_x = np.zeros((n, ph, pw, self.nband), dt)
+        out_y = np.zeros((n, ph, pw, self.nband), dt)
+        rc = self._lib.tio_assemble_batch_raw(
+            self.rx._h, self.ry._h,
+            items_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            pw, ph, self.pad[0], self.pad[1],
+            out_x.ctypes.data_as(ctypes.c_void_p),
+            out_y.ctypes.data_as(ctypes.c_void_p),
+            code, self.n_threads)
+        if rc != 0:
+            raise ValueError(f"native raw assemble failed rc={rc}")
         return out_x, out_y
 
     def close(self):

@@ -73,6 +73,9 @@ struct Raster {
   // read window into float32 HWC buffer (h*w*nband)
   virtual bool read_window(int64_t x, int64_t y, int64_t w, int64_t h,
                            float* out) = 0;
+  // native sample dtype as a DType enum value (default F32 = 6); lets the
+  // host ship raw integral tiles and normalize on device (device_normalize)
+  virtual int dtype_code() const { return 6; }
 };
 
 // -- dtype decode helpers ----------------------------------------------------
@@ -197,6 +200,7 @@ struct TiffRaster : Raster {
   MappedFile mf;
   bool big_endian = false;
   DType dtype = DType::U8;
+  int dtype_code() const override { return (int)dtype; }
   int compression = 1;   // 1 none, 8/32946 deflate
   int predictor = 1;
   int planar = 1;        // 1 chunky, 2 planar
@@ -444,6 +448,7 @@ struct TiffRaster : Raster {
 struct EnviRaster : Raster {
   MappedFile mf;
   DType dtype = DType::U8;
+  int dtype_code() const override { return (int)dtype; }
   bool big_endian = false;
   int interleave = 0;  // 0 bsq, 1 bil, 2 bip
   int64_t offset = 0;
@@ -658,6 +663,82 @@ int tio_assemble_batch(
           } else {
             memcpy(dst, src, (size_t)rw * nb * sizeof(float));
           }
+        }
+      }
+    }
+  };
+
+  int nt = std::max(1, n_threads);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return err.load() ? -2 : 0;
+}
+
+// Native sample dtype of an open raster as a DType code
+// (0 u8, 1 i8, 2 u16, 3 i16, 4 u32, 5 i32, 6 f32, 7 f64); -1 bad handle.
+int tio_dtype(int64_t h) {
+  Raster* r = get(h);
+  return r ? r->dtype_code() : -1;
+}
+
+// Raw-dtype variant of tio_assemble_batch: tile canvases in the raster's
+// NATIVE dtype with NO normalization — the host->device payload for the
+// device_normalize path (affine (v-mean)/std + zero-pad masking runs on the
+// TPU instead; 2-4x fewer upload bytes for the common u16/u8 rasters).
+// out_code must equal tio_dtype(hx) (== tio_dtype(hy)); integral samples
+// round-trip exactly through the f32 decode (values < 2^24). out_x/out_y:
+// (n, patch_h, patch_w, nband) in that dtype, pre-zeroed by the caller.
+int tio_assemble_batch_raw(
+    int64_t hx, int64_t hy, const int64_t* items, int64_t n,
+    int64_t patch_w, int64_t patch_h, int64_t pad_x, int64_t pad_y,
+    void* out_x, void* out_y, int out_code, int n_threads) {
+  Raster* rx = get(hx);
+  Raster* ry = get(hy);
+  if (!rx || !ry) return -1;
+  if (rx->dtype_code() != out_code || ry->dtype_code() != out_code) return -4;
+  int64_t nb = rx->nband;
+  int64_t osz = dtype_size((DType)out_code);
+  if (osz == 0 || out_code == 7) return -4;  // F64 canvases unsupported
+  Grid grid(rx->xsize, rx->ysize, patch_w, patch_h, pad_x, pad_y);
+  std::atomic<int64_t> next{0};
+  std::atomic<int> err{0};
+
+  auto store = [out_code](uint8_t* dst, float v) {
+    switch ((DType)out_code) {
+      case DType::U8:  *dst = (uint8_t)v; break;
+      case DType::I8:  *(int8_t*)dst = (int8_t)v; break;
+      case DType::U16: { uint16_t t = (uint16_t)v; memcpy(dst, &t, 2); } break;
+      case DType::I16: { int16_t t = (int16_t)v; memcpy(dst, &t, 2); } break;
+      case DType::U32: { uint32_t t = (uint32_t)v; memcpy(dst, &t, 4); } break;
+      case DType::I32: { int32_t t = (int32_t)v; memcpy(dst, &t, 4); } break;
+      default:         memcpy(dst, &v, 4); break;  // F32
+    }
+  };
+
+  auto worker = [&]() {
+    std::vector<float> tmp;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int64_t read[4], write[4];
+      grid.slices(items[i], read, write);
+      int64_t rw = read[2], rh = read[3];
+      tmp.resize((size_t)(rw * rh * nb));
+      for (int img = 0; img < 2; ++img) {
+        Raster* r = img == 0 ? rx : ry;
+        uint8_t* out = (uint8_t*)(img == 0 ? out_x : out_y);
+        if (!r->read_window(read[0], read[1], rw, rh, tmp.data())) {
+          err.store(1);
+          return;
+        }
+        uint8_t* canvas = out + (size_t)i * patch_h * patch_w * nb * osz;
+        for (int64_t ry_ = 0; ry_ < rh; ++ry_) {
+          uint8_t* dst =
+              canvas + (size_t)((write[1] + ry_) * patch_w + write[0]) * nb * osz;
+          const float* src = tmp.data() + ry_ * rw * nb;
+          for (int64_t c = 0; c < rw * nb; ++c)
+            store(dst + (size_t)c * osz, src[c]);
         }
       }
     }

@@ -73,7 +73,13 @@ class EpochAverages:
     #: batch = 220px tiles at batch 173), at one small download per N batches
     FOLD_EVERY = 256
 
-    def __init__(self, total_size: int, inflight: int = 2):
+    def __init__(self, total_size: int, inflight: Optional[int] = None):
+        if inflight is None:
+            import os
+
+            # deeper windows hide more host latency behind device execution
+            # at the cost of more live batch buffers (each ~the batch bytes)
+            inflight = int(os.environ.get("FCDGAN_INFLIGHT", "2"))
         self.total = max(total_size, 1)
         self._dev = None
         self._dev_n = 0

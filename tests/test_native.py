@@ -178,3 +178,58 @@ def test_native_whu_pair_loader_matches_python(tmp_path):
         for k in a.keys():
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        atol=1e-4, err_msg=k)
+
+
+def test_raw_assembly_and_device_normalize_parity(tmp_path):
+    """device_normalize path == python path: raw uint16 canvases + on-device
+    (v-mean)/std + pad masking reproduce the host-normalized f32 canvases
+    (<=1 ulp from TPU/XLA f32 division), padding exactly zero."""
+    import jax
+
+    from fcdgan_tpu.data.datasets import ScenePairDataset
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.pipeline import (
+        BatchLoader, DeviceNormalizer, NativeSceneBatchLoader)
+    from fcdgan_tpu.data.synthetic import make_usss_scene
+
+    paths = make_usss_scene(str(tmp_path), 96, 80, 3, dtype=np.uint16)
+    norm = Normalize([100.0, 101.0, 99.0], [30.0, 29.0, 31.0],
+                     [105.0, 104.0, 106.0], [31.0, 30.0, 32.0])
+    ds = ScenePairDataset(paths["x"], paths["y"], ref_path=paths["ref"],
+                          enhance=norm, patch_size=(48, 48),
+                          overlap_padding=(4, 4))
+    assert NativeSceneBatchLoader.supports_device_normalize(ds)
+    raw_loader = NativeSceneBatchLoader(ds, 4, shuffle=False,
+                                        device_normalize=True)
+    py_loader = BatchLoader(ds, 4, fields=("x", "y", "item", "ref"),
+                            shuffle=False)
+    placer = DeviceNormalizer(norm, 3)
+    for raw_b, py_b in zip(iter(raw_loader), iter(py_loader)):
+        assert raw_b["x"].dtype == np.uint16 and raw_b["win"].shape[1] == 4
+        dev = {k: jax.device_put(v) for k, v in raw_b.items()}
+        out = placer(dev)
+        assert "win" not in out
+        got_x = np.asarray(out["x"])
+        got_y = np.asarray(out["y"])
+        got_ref = np.asarray(out["ref"])
+        np.testing.assert_allclose(got_x, py_b["x"], rtol=3e-7, atol=3e-7)
+        np.testing.assert_allclose(got_y, py_b["y"], rtol=3e-7, atol=3e-7)
+        np.testing.assert_array_equal(got_ref, py_b["ref"])
+        # padding exactly zero where the python canvas is zero-padded
+        assert np.all(got_x[py_b["x"] == 0] == 0)
+        np.testing.assert_array_equal(raw_b["item"], py_b["item"])
+
+
+def test_raw_assembly_refuses_float_rasters(tmp_path):
+    from fcdgan_tpu.data.datasets import ScenePairDataset
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.pipeline import NativeSceneBatchLoader
+    from fcdgan_tpu.data.synthetic import make_usss_scene
+
+    paths = make_usss_scene(str(tmp_path), 64, 64, 3)  # float32 rasters
+    norm = Normalize([0.0] * 3, [1.0] * 3, [0.0] * 3, [1.0] * 3)
+    ds = ScenePairDataset(paths["x"], paths["y"], enhance=norm,
+                          patch_size=(48, 48), overlap_padding=(4, 4))
+    assert not NativeSceneBatchLoader.supports_device_normalize(ds)
+    with pytest.raises(ValueError, match="integral"):
+        NativeSceneBatchLoader(ds, 4, device_normalize=True)
