@@ -102,13 +102,15 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
     with tempfile.TemporaryDirectory() as td:
         paths = make_usss_scene(td, scene_px, scene_px, 3)
 
+        feed = os.environ.get("FCDGAN_INFER_FEED", "auto")
+
         def run(dd):
             out = os.path.join(td, f"density_{dd}.tif")
             ds = ScenePairDataset(paths["x"], paths["y"], out_path=out,
                                   patch_size=(220, 220), overlap_padding=(10, 10))
             # warm the jit before timing
             stitched_inference(ds, infer, sstate, batch_size=10,
-                               density_dtype=dd)
+                               density_dtype=dd, device_feed=feed)
             reps = []
             for _ in range(3):  # repetitions: the relay's transfer latency
                 # is noisy (round-2 recorded 0.373-1.013 Mpx/s for the same
@@ -117,7 +119,8 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
                                        patch_size=(220, 220),
                                        overlap_padding=(10, 10))
                 reps.append(stitched_inference(ds2, infer, sstate,
-                                               batch_size=10, density_dtype=dd))
+                                               batch_size=10, density_dtype=dd,
+                                               device_feed=feed))
             reps.sort(key=lambda st: st["px_per_s"])
             return reps[1], [round(st["px_per_s"] / 1e6, 3) for st in reps]
 
@@ -150,6 +153,7 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
         "unit": "Mpx/s",
         "vs_baseline": round(stats["px_per_s"] / base["px_per_s"], 3),
         "reps_mpx_per_s": rep_vals,
+        "feed": feed,
         "device_compute_mpx_per_s": round(compute_mpx, 2),
     }))
 
@@ -193,18 +197,28 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
         steps, gstate, sstate, _ = _setup_usss_step(batch=10)
         steps.interior = jnp.asarray(dataset.interior_sizes(), jnp.int32)
         placer = None
-        try:
-            from fcdgan_tpu.data.pipeline import (
-                DeviceNormalizer, NativeSceneBatchLoader)
+        scene_cache = None
+        # FCDGAN_DRIVER_FEED=stream A/Bs the pre-cache streaming feed;
+        # default mirrors the driver's auto selection (device-resident scene)
+        if os.environ.get("FCDGAN_DRIVER_FEED", "cache") == "cache":
+            from fcdgan_tpu.data.device_cache import DeviceSceneCache
 
-            raw = NativeSceneBatchLoader.supports_device_normalize(dataset)
-            loader = NativeSceneBatchLoader(dataset, 10, shuffle=True, seed=0,
-                                            device_normalize=raw)
-            if raw:
-                placer = DeviceNormalizer(scaler, 3)
-        except Exception:
-            loader = BatchLoader(dataset, 10, fields=("x", "y", "item", "ref"),
-                                 shuffle=True, seed=0)
+            if DeviceSceneCache.supports(dataset):
+                scene_cache = DeviceSceneCache(dataset, scaler)
+                loader = scene_cache.loader(10, dataset, shuffle=True, seed=0)
+        if scene_cache is None:
+            try:
+                from fcdgan_tpu.data.pipeline import (
+                    DeviceNormalizer, NativeSceneBatchLoader)
+
+                raw = NativeSceneBatchLoader.supports_device_normalize(dataset)
+                loader = NativeSceneBatchLoader(dataset, 10, shuffle=True, seed=0,
+                                                device_normalize=raw)
+                if raw:
+                    placer = DeviceNormalizer(scaler, 3)
+            except Exception:
+                loader = BatchLoader(dataset, 10, fields=("x", "y", "item", "ref"),
+                                     shuffle=True, seed=0)
 
         budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0}
 
@@ -219,9 +233,12 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
                 if batch is None:
                     break
                 t1 = time.perf_counter()
-                db = shard_batch(batch, None)
-                if placer is not None:
-                    db = placer(db)
+                if scene_cache is not None:
+                    db = scene_cache.complete(batch)
+                else:
+                    db = shard_batch(batch, None)
+                    if placer is not None:
+                        db = placer(db)
                 t2 = time.perf_counter()
                 gstate, sstate, m = steps.joint(
                     gstate, sstate, db["x"], db["y"], db["ref"], db["item"],
@@ -250,6 +267,8 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
         "scene_px": scene_px,
         "tiles_per_epoch": len(dataset),
         "mpx_per_s": round(px / dt / 1e6, 3),
+        "feed": "scene_cache" if scene_cache is not None else (
+            "native_raw" if placer is not None else "stream"),
         "device_normalize": placer is not None,
         "scene_dtype": scene_dt,
         # host-side budget: time the main thread spent waiting on the loader

@@ -15,22 +15,26 @@ sys.path.insert(0, _REPO)
 
 
 def run(scene_dir: str, eg: int, es: int, ej: int, platform=None, seed: int = 0,
-        mode: str = "production") -> dict:
+        mode: str = "production", batch_size: int = 10,
+        lr_scale: float = 1.0) -> dict:
     """mode='production': bf16 mixed precision + joint-stats siamese BN (the
     TPU-default configuration). mode='parity': f32 + per-branch BN statistics
-    — numerics closest to the torch reference."""
+    — numerics closest to the torch reference. batch_size/lr_scale: the
+    large-batch DP recipe A/B (VERDICT r2 task 5)."""
     import contextlib
     import io
 
     from fcdgan_tpu.config import USSSConfig
     from fcdgan_tpu.demos import demo_usss
 
-    outdir = os.path.join(scene_dir, f"rebuild_out_{mode}")
+    tag = mode if batch_size == 10 else f"{mode}_bs{batch_size}_lrx{lr_scale:g}"
+    outdir = os.path.join(scene_dir, f"rebuild_out_{tag}")
     parity = mode == "parity" or platform == "cpu"
     cfg = USSSConfig(
         dir=scene_dir, outdir=outdir, ext="_parity",
         init_num_epochs_g=eg, init_num_epochs_s=es, num_epochs=ej,
         platform=platform, seed=seed, log_tensorboard=False,
+        batch_size=batch_size, lr_scale=lr_scale,
         compute_dtype="float32" if parity else "bfloat16",
         siamese_stats="split" if parity else "joint",
     )
@@ -85,7 +89,12 @@ if __name__ == "__main__":
     mode = "production"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
-    r = run(scene, eg, es, ej, platform, mode=mode)
+    bs, lrx = 10, 1.0
+    if "--batch-size" in sys.argv:
+        bs = int(sys.argv[sys.argv.index("--batch-size") + 1])
+    if "--lr-scale" in sys.argv:
+        lrx = float(sys.argv[sys.argv.index("--lr-scale") + 1])
+    r = run(scene, eg, es, ej, platform, mode=mode, batch_size=bs, lr_scale=lrx)
     print(json.dumps(r["final"]))
     if out_json:
         with open(out_json, "w") as f:

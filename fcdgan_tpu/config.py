@@ -33,6 +33,10 @@ class USSSConfig:
     num_epochs: int = 100
     learning_rate: float = 0.0002
     batch_size: int = 10
+    # linear large-batch LR rule: multiply every phase schedule by this
+    # (e.g. 4.0 when raising --batch-size 10 -> 40; see BASELINE.md
+    # batch sweep and the bs40 accuracy A/B)
+    lr_scale: float = 1.0
 
     perception_weight: float = 0.4
     l1_weight: float = 0.65
@@ -57,6 +61,10 @@ class USSSConfig:
     # 'auto'/'on'/'off': ship RAW integral tiles, normalize + pad-mask on
     # device (2-4x fewer upload bytes; <=1 ulp vs host normalize)
     device_normalize: str = "auto"
+    # 'auto'/'on'/'off': HBM-resident raw scene, on-device tile gather +
+    # normalize — per-step upload drops to (item, weight) int32 pairs
+    # (data/device_cache.py; auto gates on FCDGAN_SCENE_CACHE_MAX_MB)
+    scene_cache: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;
@@ -96,6 +104,10 @@ class WSSSConfig:
     learning_rate: float = 0.0005
     unc_batch_size: int = 50
     batch_size: int = 15
+    # linear large-batch LR rule: multiply every phase schedule by this
+    # (e.g. 4.0 when raising --batch-size 10 -> 40; see BASELINE.md
+    # batch sweep and the bs40 accuracy A/B)
+    lr_scale: float = 1.0
     prob_thresh: float = 0.6
     tips: str = "train"
 
@@ -168,6 +180,10 @@ class RSSSConfig:
     learning_rate: float = 0.00005
     init_batch_size: int = 20
     batch_size: int = 12
+    # linear large-batch LR rule: multiply every phase schedule by this
+    # (e.g. 4.0 when raising --batch-size 10 -> 40; see BASELINE.md
+    # batch sweep and the bs40 accuracy A/B)
+    lr_scale: float = 1.0
 
     patch_size: Tuple[int, int] = (200, 200)
     overlap_padding: Tuple[int, int] = (10, 10)

@@ -130,6 +130,39 @@ class TileGrid:
         """(height, width) of the fixed zero-padded tile canvas."""
         return self.patch_size[1], self.patch_size[0]
 
+    def write_windows(self) -> np.ndarray:
+        """(n_tiles, 4) int32 array of canvas write windows (x0, y0, w, h)."""
+        n = len(self)
+        out = np.zeros((n, 4), dtype=np.int32)
+        for item in range(n):
+            _, _, write = self.slices(item)
+            out[item] = write
+        return out
+
+    def canvas_origins(self) -> np.ndarray:
+        """(n_tiles, 2) int32 array of (row, col) canvas origins into the
+        zero-padded scene of :meth:`padded_shape`.
+
+        With the scene zero-padded by ``(pad_y, pad_x)`` at the top/left
+        (and enough at the bottom/right to cover the last tile), every
+        tile's fixed canvas is exactly
+        ``padded[row : row + patch_h, col : col + patch_w]`` — the clamped
+        read window plus write offset of :meth:`slice_assign` collapses to
+        one static-size slice, which is what lets tiles be gathered on
+        device from a resident scene (data/device_cache.py)."""
+        n = len(self)
+        out = np.zeros((n, 2), dtype=np.int32)
+        for item in range(n):
+            ix, iy = self.decompose(item)
+            out[item] = (self._ystart[iy], self._xstart[ix])
+        return out
+
+    def padded_shape(self) -> Tuple[int, int]:
+        """(height, width) of the zero-padded scene for canvas_origins():
+        top/left pad = overlap_padding, extent covering the last tile."""
+        return (self._ystart[-1] + self.patch_size[1],
+                self._xstart[-1] + self.patch_size[0])
+
 
 def interior_mask(
     canvas_hw: Tuple[int, int], pad: Tuple[int, int], core_hw

@@ -83,29 +83,49 @@ def run(cfg: USSSConfig) -> Dict:
     # (the measured driver bottleneck on remote links; parity <=1 ulp,
     # tests/test_native.py). auto = on whenever the native loader + an
     # integral raster dtype allow it (single-process only).
+    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
+
+    # scene_cache ("auto"/"on"/"off"): HBM-resident raw scene + on-device
+    # tile gather/normalize — each training batch uploads only (item, weight)
+    # int32 pairs. Strictly dominates the per-step raw-tile upload whenever
+    # the scene fits the HBM budget (data/device_cache.py; single-process).
+    from ..data.device_cache import DeviceSceneCache
+
+    scene_cache = None
+    if (cfg.scene_cache != "off" and not multihost
+            and DeviceSceneCache.supports(dataset)):
+        scene_cache = DeviceSceneCache(dataset, scaler, mesh)
+    if cfg.scene_cache == "on" and scene_cache is None:
+        raise RuntimeError(
+            "--scene-cache on: needs a single process, a Normalize enhance, "
+            "no transforms, and the scene within FCDGAN_SCENE_CACHE_MAX_MB")
+
     loader = None
     device_norm = False
-    try:
-        from ..data.pipeline import NativeSceneBatchLoader
+    if scene_cache is not None:
+        loader = scene_cache.loader(cfg.batch_size, dataset,
+                                    shuffle=True, seed=cfg.seed)
+    else:
+        try:
+            from ..data.pipeline import NativeSceneBatchLoader
 
-        want_raw = (cfg.device_normalize != "off" and not multihost
-                    and NativeSceneBatchLoader.supports_device_normalize(dataset))
-        loader = NativeSceneBatchLoader(dataset, cfg.batch_size,
-                                        shuffle=True, seed=cfg.seed,
-                                        device_normalize=want_raw)
-        device_norm = want_raw
-    except Exception:
-        if cfg.device_normalize == "on":
-            raise
-        loader = BatchLoader(dataset, cfg.batch_size,
-                             fields=("x", "y", "item", "ref"),
-                             shuffle=True, seed=cfg.seed)
-    if cfg.device_normalize == "on" and not device_norm:
-        raise RuntimeError(
-            "--device-normalize on: needs the native loader and a shared "
-            "integral raster dtype (and a single process)")
+            want_raw = (cfg.device_normalize != "off" and not multihost
+                        and NativeSceneBatchLoader.supports_device_normalize(dataset))
+            loader = NativeSceneBatchLoader(dataset, cfg.batch_size,
+                                            shuffle=True, seed=cfg.seed,
+                                            device_normalize=want_raw)
+            device_norm = want_raw
+        except Exception:
+            if cfg.device_normalize == "on":
+                raise
+            loader = BatchLoader(dataset, cfg.batch_size,
+                                 fields=("x", "y", "item", "ref"),
+                                 shuffle=True, seed=cfg.seed)
+        if cfg.device_normalize == "on" and not device_norm:
+            raise RuntimeError(
+                "--device-normalize on: needs the native loader and a shared "
+                "integral raster dtype (and a single process)")
 
-    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
     placer = None
     if device_norm:
         from ..data.pipeline import DeviceNormalizer
@@ -113,6 +133,8 @@ def run(cfg: USSSConfig) -> Dict:
         placer = DeviceNormalizer(scaler, dataset.size()[2])
 
     def put(batch):
+        if scene_cache is not None:
+            return scene_cache.complete(batch)
         if mesh is not None:
             db = put_multihost(batch, mesh)  # single-process: plain DP path
         else:
@@ -171,7 +193,7 @@ def run(cfg: USSSConfig) -> Dict:
     # -- phase 1: generator init (Demo_USSS.py:124-189) ---------------------
     print("Start Initial Generator Training")
     for i in range(starts["g"], cfg.init_num_epochs_g):
-        lr = schedules.G_PRETRAIN(i)
+        lr = schedules.G_PRETRAIN(i) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.init_num_epochs_g - 1 - i, cfg.progress)
         for batch in prefetch(iter(loader), cfg.prefetch_depth):
@@ -189,7 +211,7 @@ def run(cfg: USSSConfig) -> Dict:
     # -- phase 2: segmentor init (Demo_USSS.py:192-286) ---------------------
     print("Start Initial Segmentor Training")
     for i in range(starts["s"], cfg.init_num_epochs_s):
-        lr = schedules.S_INIT_USSS(i)
+        lr = schedules.S_INIT_USSS(i) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.init_num_epochs_s - 1 - i, cfg.progress)
         for batch in prefetch(iter(loader), cfg.prefetch_depth):
@@ -213,8 +235,8 @@ def run(cfg: USSSConfig) -> Dict:
     # -- phase 3: joint alternating (Demo_USSS.py:289-400) ------------------
     print("Start Training")
     for i in range(starts["joint"], cfg.num_epochs):
-        lr_s = schedules.JOINT_USSS(i)
-        lr_g = schedules.JOINT_USSS(i)
+        lr_s = schedules.JOINT_USSS(i) * cfg.lr_scale
+        lr_g = schedules.JOINT_USSS(i) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
         for batch in prefetch(iter(loader), cfg.prefetch_depth):
@@ -238,8 +260,23 @@ def run(cfg: USSSConfig) -> Dict:
     # -- inference + stitched write-back (Demo_USSS.py:404-473) -------------
     print("Saving Change Map and Model")
     print("Segmentation of Change")
-    test_loader = BatchLoader(dataset, cfg.batch_size,
-                              fields=("x", "y", "item", "ref"), shuffle=False)
+    if scene_cache is not None:
+        # tiles come from the device-resident scene; only the 1-band ref is
+        # read host-side (on the writer thread) for the eval/color maps
+        test_loader = scene_cache.loader(cfg.batch_size, dataset, shuffle=False)
+    else:
+        test_loader = BatchLoader(dataset, cfg.batch_size,
+                                  fields=("x", "y", "item", "ref"), shuffle=False)
+
+    ph, pw = dataset.grid.canvas_shape()
+
+    def host_ref_tile(item: int) -> np.ndarray:
+        ref = np.zeros((ph, pw, 1), np.float32)
+        if dataset.raster_ref is not None:
+            _, read, write = dataset.grid.slices(item)
+            r = dataset.raster_ref.read_block(*read).astype(np.float32)
+            ref[write[1]:write[1] + write[3], write[0]:write[0] + write[2], :] = r
+        return ref
     acc = Evaluator(num_class=len(cfg.gt_map))
     from ..eval.roc import RocCurve
 
@@ -266,7 +303,8 @@ def run(cfg: USSSConfig) -> Dict:
                 continue
             item = int(batch["item"][ns])
             dataset.write_default(cmap[ns], item)
-            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+            ref_hwc = batch["ref"][ns] if "ref" in batch else host_ref_tile(item)
+            ref_chw = np.moveaxis(ref_hwc, -1, 0)
             cmask_chw = np.moveaxis(cmask[ns], -1, 0)
             if cfg.write_color:
                 if out_color is None:

@@ -171,6 +171,7 @@ def stitched_inference(
     transfer_dtype=None,
     density_dtype: str = "float32",
     crop_halo: bool = True,
+    device_feed: str = "auto",
 ) -> dict:
     """Run the segmentor over every tile and stitch the density raster.
 
@@ -193,8 +194,19 @@ def stitched_inference(
                                  dataset.patch_size)
     infer_fn, dequant = quantized_infer(infer_fn, density_dtype)
 
+    # device_feed ('auto'/'stream'): 'auto' keeps the scene HBM-resident and
+    # gathers tiles on device (data/device_cache.py), so the only per-batch
+    # host<->device traffic is the cropped density download — the upload leg
+    # of the measured transfer bottleneck disappears entirely
+    cache = None
     loader = None
-    if use_native:
+    if device_feed != "stream":
+        from ..data.device_cache import DeviceSceneCache
+
+        if DeviceSceneCache.supports(dataset):
+            cache = DeviceSceneCache(dataset, dataset.enhance)
+            loader = cache.loader(batch_size, dataset, shuffle=False)
+    if loader is None and use_native:
         try:
             from ..data.pipeline import NativeSceneBatchLoader
 
@@ -211,9 +223,12 @@ def stitched_inference(
 
     def compute(batch):
         nonlocal pixels
-        db = put(batch) if put is not None else batch
+        if cache is not None:
+            db = cache.complete(batch)
+        else:
+            db = put(batch) if put is not None else batch
         bx, by = db["x"], db["y"]
-        if transfer_dtype is not None:
+        if cache is None and transfer_dtype is not None:
             # halve host->device bytes; on low-bandwidth links (e.g. the axon
             # relay) transfers dominate full-scene inference
             bx = np.asarray(bx).astype(transfer_dtype)

@@ -64,6 +64,12 @@ def use_pallas_pool(shape: Tuple[int, ...], dtype) -> bool:
     n, h, w, c = shape
     if h < 2 or w < 2:
         return False
+    if c < 128:
+        # Mosaic (v5e) also rejects the W-split reshape when the channel dim
+        # under-fills the 128 lanes ("unsupported shape cast" on e.g.
+        # 16x110x64xbf16 -> 16x110x1x64, the round-3 A/B failure); those
+        # blocks keep XLA's select_and_scatter
+        return False
     itemsize = jnp.dtype(dtype).itemsize
     # x block + dx block + dy block, double-buffered by the pipeline
     block = (2 * 2 * _ROW_BLOCK + _ROW_BLOCK) * w * c * itemsize

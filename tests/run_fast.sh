@@ -5,4 +5,4 @@
 #   pytest tests/                  (full: e2e drivers, torch goldens, multihost)
 #   FCDGAN_TEST_TPU=1 pytest tests/ -m tpu   (on-device kernel assertions)
 cd "$(dirname "$0")/.."
-exec python -m pytest $(grep -v '^#' tests/fast.txt) -q "$@"
+exec python -m pytest $(grep -v '^#' tests/fast.txt) -m "not slow" -q "$@"
