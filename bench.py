@@ -1,13 +1,17 @@
-"""Benchmark: USSS joint-phase training throughput on the available device.
+"""Benchmark: USSS training throughput on the available device.
 
-Default mode measures the flagship hot loop — the fused USSS joint step
-(generator + siamese U-Net forward, single combined backward, both optimizer
-updates, on-device confusion matrix) at the reference's production
-configuration (batch 10 of 220x220 tiles, per-band perception layer 1,
-5-scale MS-SSIM; Demo_USSS.py:33-76) — and prints ONE JSON line:
+Default mode measures the flagship END-TO-END driver hot loop (the
+BASELINE.json "USSS epochs/sec" headline): device-resident scene feed +
+jitted fused joint steps (generator + siamese U-Net forward, single combined
+backward, both optimizer updates, on-device confusion matrix) at the
+reference's production configuration (batch 10 of 220x220 tiles, per-band
+perception layer 1, 5-scale MS-SSIM; Demo_USSS.py:33-76) — and prints ONE
+JSON line:
 
-    {"metric": "usss_train_throughput", "value": <Mpx/s>, "unit": "Mpx/s",
-     "vs_baseline": <value / estimated A100 reference>}
+    {"metric": "usss_driver_joint_epochs_per_s", "value": <epochs/s>,
+     "unit": "epochs/s", "vs_baseline": <driver Mpx/s / estimated A100
+     reference Mpx/s>, "mpx_per_s": ..., "step_mpx_per_s": <step-only
+     Mpx/s, the BENCH_r01/r02 longitudinal metric>, ...}
 
 Baseline methodology (see BASELINE.md): the reference repo publishes no
 numbers and no GPU is available here, so the A100 PyTorch baseline is an
@@ -158,7 +162,8 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
     }))
 
 
-def bench_driver(scene_px: int = 1024, epochs: int = 3):
+def bench_driver(scene_px: int = 1024, epochs: int = 3,
+                 baseline_mpx: float = None, emit: bool = True):
     """Real-driver joint-phase throughput: loader + placement + jitted step +
     on-device metric accumulation, epochs/sec on a synthetic scene (the
     BASELINE.json "USSS epochs/sec" metric, measured end to end rather than
@@ -220,7 +225,8 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
                 loader = BatchLoader(dataset, 10, fields=("x", "y", "item", "ref"),
                                      shuffle=True, seed=0)
 
-        budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0}
+        budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0,
+                  "epoch_sync_s": 0.0}
 
         def epoch(i, timed=False):
             nonlocal gstate, sstate
@@ -249,7 +255,11 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
                     budget["load_s"] += t1 - t0
                     budget["put_s"] += t2 - t1
                     budget["dispatch_s"] += t3 - t2
-            return av["NetLoss"]  # downloads epoch totals (the real sync)
+            ts = time.perf_counter()
+            out = av["NetLoss"]  # downloads epoch totals (the real sync)
+            if timed:
+                budget["epoch_sync_s"] += time.perf_counter() - ts
+            return out
 
         gstate, sstate = map(jax.device_put, (gstate, sstate))
         epoch(0)  # warm: compile + caches
@@ -259,24 +269,37 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3):
         dt = time.perf_counter() - t0
 
     px = len(dataset) * 220 * 220 * epochs
-    print(json.dumps({
+    mpx = px / dt / 1e6
+    result = {
         "metric": "usss_driver_joint_epochs_per_s",
         "value": round(epochs / dt, 4),
         "unit": "epochs/s",
-        "vs_baseline": -1.0,
+        # vs the estimated A100 reference in Mpx/s (BASELINE.md methodology,
+        # same estimate as the step bench) when invoked from the default
+        # headline; -1 standalone (no estimate computed)
+        "vs_baseline": (round(mpx / baseline_mpx, 3)
+                        if baseline_mpx and baseline_mpx == baseline_mpx
+                        else -1.0),
         "scene_px": scene_px,
         "tiles_per_epoch": len(dataset),
-        "mpx_per_s": round(px / dt / 1e6, 3),
+        "mpx_per_s": round(mpx, 3),
         "feed": "scene_cache" if scene_cache is not None else (
             "native_raw" if placer is not None else "stream"),
         "device_normalize": placer is not None,
         "scene_dtype": scene_dt,
         # host-side budget: time the main thread spent waiting on the loader
-        # vs placing batches vs dispatching steps + (mostly) device execution
+        # vs placing batches vs dispatching steps + (mostly) device execution;
+        # epoch_sync = the per-epoch metric download that drains the device
+        # queue (relay-latency-bound here, negligible on a local host)
         "budget_ms_per_batch": {
             k: round(v / max(epochs, 1) / max(len(loader), 1) * 1e3, 1)
-            for k, v in budget.items()},
-    }))
+            for k, v in budget.items() if k != "epoch_sync_s"},
+        "epoch_sync_ms": round(
+            budget["epoch_sync_s"] / max(epochs, 1) * 1e3, 1),
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
 def bench_pretrain():
@@ -721,12 +744,15 @@ def main():
     )
     vs_baseline = mpx_per_s / baseline_mpx if baseline_mpx == baseline_mpx else -1.0
 
-    print(json.dumps({
-        "metric": "usss_train_throughput",
-        "value": round(mpx_per_s, 3),
-        "unit": "Mpx/s",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+    # Headline (VERDICT r2 task 1): the END-TO-END driver epochs/sec —
+    # loader + placement + jitted steps + on-device metrics — with the
+    # step-only Mpx/s embedded for longitudinal comparison vs BENCH_r01/r02.
+    drv = bench_driver(baseline_mpx=baseline_mpx, emit=False)
+    out = dict(drv)
+    out["step_mpx_per_s"] = round(mpx_per_s, 3)
+    out["step_vs_baseline"] = round(vs_baseline, 3)
+    out["driver_frac_of_step"] = round(out["mpx_per_s"] / mpx_per_s, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -141,6 +141,11 @@ class WSSSConfig:
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
+    # 'auto'/'on'/'off': HBM-resident raw slice stacks, on-device gather +
+    # normalize — per-step upload drops to (c_item, nc_item, weight) int32
+    # rows (data/device_cache.py; auto gates on FCDGAN_SLICE_CACHE_MAX_MB,
+    # disabled under random_assign / random_eraser / multi-host)
+    slice_cache: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;
@@ -223,6 +228,11 @@ class RSSSConfig:
     compute_dtype: str = "float32"  # 'bfloat16' = mixed precision (f32 losses/BN)
     siamese_stats: str = "joint"    # 'split' = reference per-branch BN stats
     density_dtype: str = "float32"  # uint8/bfloat16 = quantized density download
+    # 'auto'/'on'/'off': HBM-resident raw tile stacks for both the train and
+    # test scene lists, per-scene normalize + pad-mask on device — per-batch
+    # upload drops to (item, weight) int32 pairs (data/device_cache.py;
+    # auto gates on FCDGAN_TILE_CACHE_MAX_MB, disabled under random_eraser)
+    tile_cache: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;

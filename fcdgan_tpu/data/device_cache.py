@@ -182,3 +182,300 @@ class DeviceSceneCache:
     def loader(self, batch_size: int, dataset, shuffle: bool = False,
                seed: int = 0) -> IndexBatchLoader:
         return IndexBatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed)
+
+
+class IndexPairBatchLoader(BatchLoader):
+    """Index-only loader over a WHUPairDataset: per-epoch order_reset pairing
+    resolved to (c_item, nc_item) table lookups, no host slice reads.
+    Requires the deterministic ``random_assign=False`` pairing (the demo
+    default) — same contract as NativeWHUPairBatchLoader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, epoch_hook=None):
+        if dataset.random_assign:
+            raise ValueError("index pair loader requires random_assign=False")
+        super().__init__(dataset, batch_size, fields=("item",),
+                         shuffle=shuffle, seed=seed, epoch_hook=epoch_hook)
+
+    def __iter__(self):
+        pair = self.dataset
+        for idx, weight in self._index_batches():
+            yield Batch(
+                c_item=np.asarray([pair.c_order[int(i)] for i in idx], np.int64),
+                nc_item=np.asarray([pair.nc_order[int(i)] for i in idx], np.int64),
+                weight=weight)
+
+
+class DeviceWHUCache:
+    """HBM-resident WHU slice stacks + jitted gather/normalize feeds.
+
+    WSSS is feeding-limited (the adversarial step is faster than host slice
+    assembly, ROADMAP.md round 2); with the raw changed/unchanged slice
+    stacks resident in HBM, each adversarial batch uploads one (B, 3) int32
+    (c_item, nc_item, weight) array and each G-pretrain batch a (B, 2) —
+    normalization and the label==1 ref binarization semantics match the
+    host loaders exactly (refs are pre-binarized into a uint8 stack).
+
+    Reference hot loop being replaced: the per-batch PIL reads inside
+    /root/reference/data_utils.py:494-525 under Demo_WSSS.py:236-343.
+    """
+
+    def __init__(self, pair_ds, normalize, mesh=None):
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        c_ds, nc_ds = pair_ds.c_ds, pair_ds.nc_ds
+        for ds in (c_ds, nc_ds):
+            if ds.transforms is not None:
+                raise ValueError("DeviceWHUCache does not support sync transforms")
+
+        def read_raw(path):
+            a = np.array(Image.open(path))
+            return a[..., None] if a.ndim == 2 else a
+
+        def stack(paths):
+            return np.stack([read_raw(p) for p in paths])
+
+        cx, cy = stack(c_ds.img_path_x), stack(c_ds.img_path_y)
+        nx, ny = stack(nc_ds.img_path_x), stack(nc_ds.img_path_y)
+        # changed refs, binarized >0 -> 1 (data_utils.py:501-508); unchanged
+        # slices have all-zero refs by construction
+        cref = np.stack([
+            (read_raw(p)[..., :1] > 0).astype(np.uint8) for p in c_ds.ref_path])
+        nband = cx.shape[-1]
+
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._bshard = batch_sharding(mesh)
+            rshard = replicated(mesh)
+            put = lambda a: jax.device_put(a, rshard)  # noqa: E731
+        else:
+            self._bshard = None
+            put = jax.device_put
+
+        self._cx, self._cy, self._cref = put(cx), put(cy), put(cref)
+        self._nx, self._ny = put(nx), put(ny)
+
+        if normalize is not None:
+            mx = np.asarray(normalize.meansX[:nband], np.float32)
+            sx = np.asarray(normalize.stdX[:nband], np.float32)
+            my = np.asarray(normalize.meansY[:nband], np.float32)
+            sy = np.asarray(normalize.stdY[:nband], np.float32)
+        else:
+            mx = my = np.zeros(nband, np.float32)
+            sx = sy = np.ones(nband, np.float32)
+
+        def pair_prep(arr, cx, cy, cref, nx, ny):
+            ci, ni = arr[:, 0], arr[:, 1]
+            weight = arr[:, 2].astype(jnp.float32)
+            c_x = (cx[ci].astype(jnp.float32) - mx) / sx
+            c_y = (cy[ci].astype(jnp.float32) - my) / sy
+            nc_x = (nx[ni].astype(jnp.float32) - mx) / sx
+            nc_y = (ny[ni].astype(jnp.float32) - my) / sy
+            return c_x, c_y, cref[ci].astype(jnp.float32), nc_x, nc_y, weight
+
+        def unc_prep(arr, nx, ny):
+            i = arr[:, 0]
+            weight = arr[:, 1].astype(jnp.float32)
+            x = (nx[i].astype(jnp.float32) - mx) / sx
+            y = (ny[i].astype(jnp.float32) - my) / sy
+            return x, y, i, weight
+
+        self._pair_prep = jax.jit(pair_prep)
+        self._unc_prep = jax.jit(unc_prep)
+
+    @staticmethod
+    def supports(pair_ds) -> bool:
+        from .normalize import Normalize
+
+        for ds in (pair_ds.c_ds, pair_ds.nc_ds):
+            if ds.transforms is not None:
+                return False
+            if ds.scale is not None and not isinstance(ds.scale, Normalize):
+                return False
+        if pair_ds.random_assign or not pair_ds.c_len or not pair_ds.nc_len:
+            return False
+        try:
+            from PIL import Image
+
+            probe = np.array(Image.open(pair_ds.c_ds.img_path_x[0]))
+            h, w = probe.shape[:2]
+            c = 1 if probe.ndim == 2 else probe.shape[-1]
+            per = h * w * c * probe.dtype.itemsize
+            limit = float(os.environ.get("FCDGAN_SLICE_CACHE_MAX_MB", "4096"))
+            n = pair_ds.c_len + pair_ds.nc_len
+            return (2 * n + pair_ds.c_len) * per <= limit * 1e6
+        except Exception:
+            return False
+
+    def _put_arr(self, arr):
+        import jax
+
+        if self._bshard is not None and arr.shape[0] % self._mesh.devices.size == 0:
+            return jax.device_put(arr, self._bshard)
+        return arr
+
+    def complete_pair(self, batch: Dict) -> Dict:
+        arr = np.stack([np.asarray(batch["c_item"], np.int32),
+                        np.asarray(batch["nc_item"], np.int32),
+                        np.asarray(batch["weight"], np.int32)], axis=1)
+        c_x, c_y, c_ref, nc_x, nc_y, weight = self._pair_prep(
+            self._put_arr(arr), self._cx, self._cy, self._cref,
+            self._nx, self._ny)
+        return Batch(c_x=c_x, c_y=c_y, c_ref=c_ref, nc_x=nc_x, nc_y=nc_y,
+                     weight=weight, c_item=batch["c_item"],
+                     nc_item=batch["nc_item"])
+
+    def complete_unc(self, batch: Dict) -> Dict:
+        arr = np.stack([np.asarray(batch["item"], np.int32),
+                        np.asarray(batch["weight"], np.int32)], axis=1)
+        x, y, item, weight = self._unc_prep(self._put_arr(arr),
+                                            self._nx, self._ny)
+        return Batch(x=x, y=y, item=item, weight=weight)
+
+    def pair_loader(self, batch_size: int, pair_ds, shuffle: bool = False,
+                    seed: int = 0, epoch_hook=None) -> IndexPairBatchLoader:
+        return IndexPairBatchLoader(pair_ds, batch_size, shuffle=shuffle,
+                                    seed=seed, epoch_hook=epoch_hook)
+
+    def unc_loader(self, batch_size: int, unc_ds, shuffle: bool = False,
+                   seed: int = 0) -> IndexBatchLoader:
+        return IndexBatchLoader(unc_ds, batch_size, shuffle=shuffle, seed=seed)
+
+
+class DeviceOSCDCache:
+    """HBM-resident raw tile stacks for an OSCD multi-scene dataset.
+
+    Scenes have PER-SCENE normalizers (data/datasets.py OSCDDataset parity
+    with /root/reference/data_utils.py:341-362), so the cache stores raw
+    fixed-shape tile canvases (assembled once host-side with the exact
+    clamped-read/zero-pad semantics) plus per-item (C,) mean/std rows, and
+    normalizes + pad-masks on device at gather time. Regions are
+    pre-binarized (>125 -> 1, data_utils.py:273-282) into a uint8 stack.
+
+    Per-batch upload: one (B, 2) int32 (item, weight) array — replaces the
+    per-batch x/y/ref/region tile upload in both the adversarial loop and
+    the per-epoch test eval (Demo_RSSS.py:244-447).
+    """
+
+    def __init__(self, dataset, mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        n = len(dataset)
+        if n == 0:
+            raise ValueError("empty dataset")
+        ph, pw = dataset.dslist[0].ds.grid.canvas_shape()
+        nband = dataset.dslist[0].ds.raster_x.nband
+
+        dts = [s.ds.raster_x.dtype for s in dataset.dslist]
+        dts += [s.ds.raster_y.dtype for s in dataset.dslist]
+        common = np.result_type(*dts)
+        if not (np.issubdtype(common, np.integer) and common.itemsize <= 2):
+            common = np.dtype(np.float32)
+
+        xs = np.zeros((n, ph, pw, nband), common)
+        ys = np.zeros((n, ph, pw, nband), common)
+        refs = np.zeros((n, ph, pw, 1), np.float32)
+        regions = np.zeros((n, ph, pw, 1), np.uint8)
+        mx = np.zeros((n, nband), np.float32)
+        sx = np.ones((n, nband), np.float32)
+        my = np.zeros((n, nband), np.float32)
+        sy = np.ones((n, nband), np.float32)
+        wins = np.zeros((n, 4), np.int32)
+
+        for item in range(n):
+            s_idx, cur = dataset._locate(item)
+            scene = dataset.dslist[s_idx]
+            base = scene.ds
+            if base.transforms is not None:
+                raise ValueError("DeviceOSCDCache does not support sync transforms")
+            _, read, write = base.grid.slices(cur)
+            wy, wx = write[1], write[0]
+            xs[item, wy:wy + write[3], wx:wx + write[2]] = \
+                base.raster_x.read_block(*read).astype(common)
+            ys[item, wy:wy + write[3], wx:wx + write[2]] = \
+                base.raster_y.read_block(*read).astype(common)
+            if base.raster_ref is not None:
+                refs[item, wy:wy + write[3], wx:wx + write[2]] = \
+                    base.raster_ref.read_block(*read).astype(np.float32)
+            if scene.raster_region is not None:
+                g = scene.raster_region.read_block(*read)
+                regions[item, wy:wy + write[3], wx:wx + write[2]] = \
+                    (g > 125).astype(np.uint8)
+            if base.enhance is not None:
+                mx[item] = np.asarray(base.enhance.meansX[:nband], np.float32)
+                sx[item] = np.asarray(base.enhance.stdX[:nband], np.float32)
+                my[item] = np.asarray(base.enhance.meansY[:nband], np.float32)
+                sy[item] = np.asarray(base.enhance.stdY[:nband], np.float32)
+            wins[item] = write
+
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._bshard = batch_sharding(mesh)
+            rshard = replicated(mesh)
+            put = lambda a: jax.device_put(a, rshard)  # noqa: E731
+        else:
+            self._bshard = None
+            put = jax.device_put
+
+        self._stacks = tuple(put(a) for a in
+                             (xs, ys, refs, regions, mx, sx, my, sy, wins))
+
+        def prep(arr, xs, ys, refs, regions, mx, sx, my, sy, wins):
+            idx = arr[:, 0]
+            weight = arr[:, 1].astype(jnp.float32)
+            win = wins[idx]
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, ph, 1, 1), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw, 1), 2)
+            x0 = win[:, 0][:, None, None, None]
+            y0 = win[:, 1][:, None, None, None]
+            ww = win[:, 2][:, None, None, None]
+            wh = win[:, 3][:, None, None, None]
+            mask = (row >= y0) & (row < y0 + wh) & (col >= x0) & (col < x0 + ww)
+            bx = (xs[idx].astype(jnp.float32) - mx[idx][:, None, None, :]) \
+                / sx[idx][:, None, None, :]
+            by = (ys[idx].astype(jnp.float32) - my[idx][:, None, None, :]) \
+                / sy[idx][:, None, None, :]
+            zero = jnp.float32(0)
+            return (jnp.where(mask, bx, zero), jnp.where(mask, by, zero),
+                    refs[idx], regions[idx].astype(jnp.float32), idx, weight)
+
+        self._prep = jax.jit(prep)
+
+    @staticmethod
+    def supports(dataset) -> bool:
+        from .normalize import Normalize
+
+        if not len(dataset):
+            return False
+        for scene in dataset.dslist:
+            if scene.ds.transforms is not None:
+                return False
+            e = scene.ds.enhance
+            if e is not None and not isinstance(e, Normalize):
+                return False
+        ph, pw = dataset.dslist[0].ds.grid.canvas_shape()
+        nband = dataset.dslist[0].ds.raster_x.nband
+        per = ph * pw * (2 * nband * 2 + 4 + 1)  # u16 x/y + f32 ref + u8 region
+        limit = float(os.environ.get("FCDGAN_TILE_CACHE_MAX_MB", "4096"))
+        return len(dataset) * per <= limit * 1e6
+
+    def complete(self, batch: Dict) -> Dict:
+        import jax
+
+        arr = np.stack([np.asarray(batch["item"], np.int32),
+                        np.asarray(batch["weight"], np.int32)], axis=1)
+        if self._bshard is not None and arr.shape[0] % self._mesh.devices.size == 0:
+            arr = jax.device_put(arr, self._bshard)
+        x, y, ref, region, item, weight = self._prep(arr, *self._stacks)
+        return Batch(x=x, y=y, ref=ref, region=region, item=item, weight=weight)
+
+    def loader(self, batch_size: int, dataset, shuffle: bool = False,
+               seed: int = 0) -> IndexBatchLoader:
+        return IndexBatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed)

@@ -90,7 +90,29 @@ def run(cfg: RSSSConfig) -> Dict:
 
     fields = ("x", "y", "item", "ref", "region")
 
+    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
+
+    # tile_cache ("auto"/"on"/"off"): HBM-resident raw tile stacks with
+    # per-scene on-device normalization — per-batch upload drops to
+    # (item, weight) int32 pairs for BOTH the adversarial loop and the
+    # per-epoch test eval (data/device_cache.py)
+    from ..data.device_cache import DeviceOSCDCache
+
+    train_cache = test_cache = None
+    if (cfg.tile_cache != "off" and not multihost and eraser is None
+            and DeviceOSCDCache.supports(dataset)
+            and DeviceOSCDCache.supports(test_dataset)):
+        train_cache = DeviceOSCDCache(dataset, mesh)
+        test_cache = DeviceOSCDCache(test_dataset, mesh)
+    if cfg.tile_cache == "on" and train_cache is None:
+        raise RuntimeError(
+            "--tile-cache on: needs a single process, no random_eraser, and "
+            "tiles within FCDGAN_TILE_CACHE_MAX_MB")
+
     def make_loader(ds, bs, shuffle, seed):
+        cache = train_cache if ds is dataset else test_cache
+        if cache is not None:
+            return cache.loader(bs, ds, shuffle=shuffle, seed=seed)
         # native C++ per-scene tile assembly when available
         try:
             from ..data.pipeline import NativeOSCDBatchLoader
@@ -103,12 +125,16 @@ def run(cfg: RSSSConfig) -> Dict:
     train_loader = make_loader(dataset, cfg.batch_size, True, cfg.seed + 1)
     test_loader = make_loader(test_dataset, cfg.batch_size, False, cfg.seed)
 
-    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
-
     def put(batch):
         if mesh is not None:
             return put_multihost(batch, mesh)  # single-process: plain DP path
         return shard_batch(batch, mesh)
+
+    def put_train(batch):
+        return train_cache.complete(batch) if train_cache is not None else put(batch)
+
+    def put_test(batch):
+        return test_cache.complete(batch) if test_cache is not None else put(batch)
 
     # -- models / optimizers (Demo_RSSS.py:137-158) --------------------------
     nband = dataset[0][0].shape[-1]
@@ -164,7 +190,7 @@ def run(cfg: RSSSConfig) -> Dict:
         prog = Progress(total, lambda: init_epochs_g - 1 - i, cfg.progress)
         for batch in prefetch(iter(init_loader), cfg.prefetch_depth):
             prog.start_batch()
-            db = put(batch)
+            db = put_train(batch)
             gstate, m = steps.g_pretrain(gstate, db["x"], db["y"], db["region"],
                                          db["weight"], lr)
             bw = float(np.asarray(batch["weight"]).sum())
@@ -189,7 +215,7 @@ def run(cfg: RSSSConfig) -> Dict:
         prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
         for batch in prefetch(iter(train_loader), cfg.prefetch_depth):
             prog.start_batch()
-            db = put(batch)
+            db = put_train(batch)
             sstate, dstate, m = steps.adversarial(
                 sstate, dstate, gstate, db["x"], db["y"], db["ref"], db["region"],
                 db["item"], db["weight"], lr_s, lr_d)
@@ -223,7 +249,7 @@ def run(cfg: RSSSConfig) -> Dict:
                 n_real = int(np.asarray(batch["weight"]).sum())
                 if n_real < len(batch["weight"]):
                     batch = {k: v[:n_real] for k, v in batch.items()}
-            db = put(batch)
+            db = put_test(batch)
             if cfg.test_eval_bn == "train":
                 cm, sstate = steps.eval_confusion_train(
                     sstate, db["x"], db["y"], db["ref"], db["item"],
@@ -257,8 +283,22 @@ def run(cfg: RSSSConfig) -> Dict:
 
     infer_q, dequant = quantized_infer(steps.infer, cfg.density_dtype)
 
+    ph_t, pw_t = test_dataset.dslist[0].ds.grid.canvas_shape()
+
+    def host_ref_tile(item: int) -> np.ndarray:
+        # cache-fed batches carry no host ref; read the 1-band tile on the
+        # writer thread (a fraction of the bytes, fully overlapped)
+        s_idx, cur = test_dataset._locate(item)
+        base = test_dataset.dslist[s_idx].ds
+        ref = np.zeros((ph_t, pw_t, 1), np.float32)
+        if base.raster_ref is not None:
+            _, read, write = base.grid.slices(cur)
+            r = base.raster_ref.read_block(*read).astype(np.float32)
+            ref[write[1]:write[1] + write[3], write[0]:write[0] + write[2], :] = r
+        return ref
+
     def infer_compute(batch):
-        db = put(batch)
+        db = put_test(batch)
         return infer_q(sstate, db["x"], db["y"])
 
     def infer_process(cmap_dev, batch):
@@ -271,7 +311,8 @@ def run(cfg: RSSSConfig) -> Dict:
                 continue
             item = int(batch["item"][ns])
             test_dataset.write(cmap[ns], item, density_name)
-            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
+            ref_hwc = batch["ref"][ns] if "ref" in batch else host_ref_tile(item)
+            ref_chw = np.moveaxis(ref_hwc, -1, 0)
             cmask_chw = np.moveaxis(cmask[ns], -1, 0)
             codes = write_changemap_gdal(cmask_chw, ref_chw, write_color=cfg.write_color,
                                          ref_map=cfg.gt_map, dt_map=cfg.pre_map)

@@ -79,34 +79,68 @@ def run(cfg: WSSSConfig) -> Dict:
     # native C++ threaded slice reads when available (WSSS is feeding-limited
     # on slow hosts: adversarial step ~21 ms vs ~38 ms/batch PIL assembly);
     # identical batches through the Python path otherwise
-    try:
-        from ..data.pipeline import NativeWHUPairBatchLoader
+    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
 
-        pair_loader = NativeWHUPairBatchLoader(
-            pair_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+    # slice_cache ("auto"/"on"/"off"): HBM-resident raw slice stacks + jitted
+    # on-device gather/normalize — per-batch upload drops to index rows
+    # (data/device_cache.py; WSSS is feeding-limited on slow hosts:
+    # adversarial step ~21 ms vs ~38 ms/batch PIL assembly)
+    from ..data.device_cache import DeviceWHUCache
+
+    whu_cache = None
+    if (cfg.slice_cache != "off" and not multihost and eraser is None
+            and DeviceWHUCache.supports(pair_ds)):
+        whu_cache = DeviceWHUCache(pair_ds, scaler, mesh)
+    if cfg.slice_cache == "on" and whu_cache is None:
+        raise RuntimeError(
+            "--slice-cache on: needs a single process, no random_assign, no "
+            "random_eraser, and slices within FCDGAN_SLICE_CACHE_MAX_MB")
+
+    if whu_cache is not None:
+        pair_loader = whu_cache.pair_loader(
+            cfg.batch_size, pair_ds, shuffle=True, seed=cfg.seed,
             epoch_hook=lambda e: pair_ds.order_reset())
-    except Exception:
-        pair_loader = PairBatchLoader(pair_ds, cfg.batch_size, c_fields=fields,
-                                      nc_fields=fields, shuffle=True, seed=cfg.seed,
-                                      epoch_hook=lambda e: pair_ds.order_reset())
+    else:
+        try:
+            from ..data.pipeline import NativeWHUPairBatchLoader
+
+            pair_loader = NativeWHUPairBatchLoader(
+                pair_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                epoch_hook=lambda e: pair_ds.order_reset())
+        except Exception:
+            pair_loader = PairBatchLoader(pair_ds, cfg.batch_size, c_fields=fields,
+                                          nc_fields=fields, shuffle=True, seed=cfg.seed,
+                                          epoch_hook=lambda e: pair_ds.order_reset())
     unc_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
                         scale=scaler, label_selected="0", transforms=eraser)
     total_unc = len(unc_ds)
-    try:
-        from ..data.pipeline import NativeWHUBatchLoader
-
-        unc_loader = NativeWHUBatchLoader(unc_ds, cfg.unc_batch_size,
+    # the unchanged G-pretrain set has the same file list as the pair's
+    # nc side, so it feeds from the same device stacks
+    unc_cached = (whu_cache is not None and eraser is None
+                  and len(unc_ds) == pair_ds.nc_len)
+    if unc_cached:
+        unc_loader = whu_cache.unc_loader(cfg.unc_batch_size, unc_ds,
                                           shuffle=True, seed=cfg.seed)
-    except Exception:
-        unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
-                                 shuffle=True, seed=cfg.seed)
+    else:
+        try:
+            from ..data.pipeline import NativeWHUBatchLoader
 
-    mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
+            unc_loader = NativeWHUBatchLoader(unc_ds, cfg.unc_batch_size,
+                                              shuffle=True, seed=cfg.seed)
+        except Exception:
+            unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
+                                     shuffle=True, seed=cfg.seed)
 
     def put(batch):
         if mesh is not None:
             return put_multihost(batch, mesh)  # single-process: plain DP path
         return shard_batch(batch, mesh)
+
+    def put_pair(batch):
+        return whu_cache.complete_pair(batch) if whu_cache is not None else put(batch)
+
+    def put_unc(batch):
+        return whu_cache.complete_unc(batch) if unc_cached else put(batch)
 
     # -- models / optimizers (Demo_WSSS.py:103-122) --------------------------
     sample = unc_ds[0][0] if total_unc else pair_ds[0][0][0]
@@ -164,7 +198,7 @@ def run(cfg: WSSSConfig) -> Dict:
         prog = Progress(total_unc, lambda: init_epochs_g - 1 - i, cfg.progress)
         for batch in prefetch(iter(unc_loader), cfg.prefetch_depth):
             prog.start_batch()
-            db = put(batch)
+            db = put_unc(batch)
             gstate, m = steps.g_pretrain(gstate, db["x"], db["y"], db["weight"], lr)
             bw = float(np.asarray(batch["weight"]).sum())
             av.update(m, bw)
@@ -188,7 +222,7 @@ def run(cfg: WSSSConfig) -> Dict:
         prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
         for batch in prefetch(iter(pair_loader), cfg.prefetch_depth):
             prog.start_batch()
-            db = put(batch)
+            db = put_pair(batch)
             sstate, dstate, m = steps.adversarial(
                 sstate, dstate, gstate, db["c_x"], db["c_y"], db["c_ref"],
                 db["nc_x"], db["nc_y"], db["weight"], lr_s, lr_d)

@@ -5,6 +5,8 @@ read-window + canvas-offset semantics (/root/reference/data_utils.py:154-176)
 for every tile, including all border cases, and its normalize math must match
 the host Normalize within 1 ulp (same contract as DeviceNormalizer)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -111,3 +113,141 @@ def test_driver_cache_matches_streaming(tmp_path):
         cms[mode] = res["evaluator"].confusion_matrix.copy()
     np.testing.assert_allclose(outs["on"], outs["off"], atol=1e-4)
     assert np.array_equal(cms["on"], cms["off"])
+
+
+def _whu(tmp_path, n_changed=3, n_unchanged=4):
+    from fcdgan_tpu.data.datasets import WHUPairDataset
+    from fcdgan_tpu.data.synthetic import make_whu_dataset
+
+    d = str(tmp_path / "whu")
+    make_whu_dataset(d, n_changed=n_changed, n_unchanged=n_unchanged, size=48)
+    import random as _random
+
+    from fcdgan_tpu.data.stats import dataset_meanstd
+    from fcdgan_tpu.data.datasets import WHUDataset
+
+    dirs = dict(img_dir_x=os.path.join(d, "before"),
+                img_dir_y=os.path.join(d, "after"),
+                ref_dir=os.path.join(d, "Label"), label_dir=d)
+    stats_ds = WHUDataset(dirs["img_dir_x"], dirs["img_dir_y"],
+                          dirs["ref_dir"], dirs["label_dir"], "-1")
+    sp1 = str(tmp_path / "w1.txt")
+    sp2 = str(tmp_path / "w2.txt")
+    scaler = Normalize(*dataset_meanstd(sp1, sp2, stats_ds))
+    pair = WHUPairDataset(dirs["img_dir_x"], dirs["img_dir_y"], dirs["ref_dir"],
+                          dirs["label_dir"], scale=scaler, random_assign=False,
+                          rng=_random.Random(0))
+    return pair, scaler
+
+
+def test_whu_cache_matches_pair_loader(tmp_path):
+    import os as _os
+    import random as _random
+
+    from fcdgan_tpu.data.device_cache import DeviceWHUCache
+    from fcdgan_tpu.data.pipeline import PairBatchLoader
+
+    pair, scaler = _whu(tmp_path)
+    assert DeviceWHUCache.supports(pair)
+    cache = DeviceWHUCache(pair, scaler)
+    fields = ("x", "y", "ref", "item", "label")
+    host = PairBatchLoader(pair, 2, c_fields=fields, nc_fields=fields,
+                           shuffle=True, seed=9,
+                           epoch_hook=lambda e: pair.order_reset())
+    # fresh pair dataset with the SAME rng stream for the cache loader
+    pair2, _ = _whu(tmp_path)
+    cache_loader = cache.pair_loader(2, pair2, shuffle=True, seed=9,
+                                     epoch_hook=lambda e: pair2.order_reset())
+    for _ in range(2):  # two epochs: order_reset re-pairs between them
+        for hb, ib in zip(iter(host), iter(cache_loader)):
+            assert np.array_equal(hb["c_item"], ib["c_item"])
+            assert np.array_equal(hb["nc_item"], ib["nc_item"])
+            db = cache.complete_pair(ib)
+            for k in ("c_x", "c_y", "nc_x", "nc_y"):
+                got, want = np.asarray(db[k]), np.asarray(hb[k])
+                tol = np.spacing(np.abs(want).astype(np.float32))
+                assert np.all(np.abs(got - want) <= tol), k
+            assert np.array_equal(np.asarray(db["c_ref"]), hb["c_ref"])
+            assert np.array_equal(np.asarray(db["weight"]), hb["weight"])
+
+
+def test_whu_cache_unc_matches(tmp_path):
+    from fcdgan_tpu.data.datasets import WHUDataset
+    from fcdgan_tpu.data.device_cache import DeviceWHUCache
+    from fcdgan_tpu.data.pipeline import BatchLoader
+
+    pair, scaler = _whu(tmp_path)
+    cache = DeviceWHUCache(pair, scaler)
+    unc = WHUDataset(pair.nc_ds.img_path_x[0].rsplit("/", 1)[0],
+                     pair.nc_ds.img_path_y[0].rsplit("/", 1)[0],
+                     pair.nc_ds.ref_path[0].rsplit("/", 1)[0],
+                     os.path.dirname(pair.nc_ds.ref_path[0].rsplit("/", 1)[0]) or ".",
+                     scale=scaler, label_selected="0")
+    host = BatchLoader(unc, 3, fields=("x", "y", "ref", "item", "label"),
+                       shuffle=True, seed=4)
+    idx = cache.unc_loader(3, unc, shuffle=True, seed=4)
+    for hb, ib in zip(iter(host), iter(idx)):
+        assert np.array_equal(hb["item"], ib["item"])
+        db = cache.complete_unc(ib)
+        for k in ("x", "y"):
+            got, want = np.asarray(db[k]), np.asarray(hb[k])
+            tol = np.spacing(np.abs(want).astype(np.float32))
+            assert np.all(np.abs(got - want) <= tol), k
+        assert np.array_equal(np.asarray(db["weight"]), hb["weight"])
+
+
+def test_oscd_cache_matches_host_loader(tmp_path):
+    from fcdgan_tpu.data.datasets import OSCDDataset
+    from fcdgan_tpu.data.device_cache import DeviceOSCDCache
+    from fcdgan_tpu.data.synthetic import make_oscd_dataset
+    from fcdgan_tpu.demos.demo_rsss import _scene_scalers
+
+    d = str(tmp_path / "oscd")
+    make_oscd_dataset(d, train_scenes=("sa", "sb"), test_scenes=("sc",),
+                      xsize=72, ysize=72)
+    scalers = _scene_scalers(d, "train.txt", (40, 40), "statsMS")
+    ds = OSCDDataset(d, "train.txt", scaler=scalers,
+                     patch_size=(40, 40), overlap_padding=(4, 4))
+    assert DeviceOSCDCache.supports(ds)
+    cache = DeviceOSCDCache(ds)
+    host = BatchLoader(ds, 3, fields=("x", "y", "item", "ref", "region"),
+                       shuffle=True, seed=2)
+    idx = cache.loader(3, ds, shuffle=True, seed=2)
+    n = 0
+    for hb, ib in zip(iter(host), iter(idx)):
+        assert np.array_equal(hb["item"], ib["item"])
+        db = cache.complete(ib)
+        for k in ("x", "y"):
+            got, want = np.asarray(db[k]), np.asarray(hb[k])
+            tol = np.spacing(np.abs(want).astype(np.float32))
+            assert np.all(np.abs(got - want) <= tol), k
+        assert np.array_equal(np.asarray(db["ref"]), hb["ref"])
+        assert np.array_equal(np.asarray(db["region"]), hb["region"])
+        assert np.array_equal(np.asarray(db["weight"]), hb["weight"])
+        n += 1
+    assert n > 1
+
+
+@pytest.mark.slow
+def test_rsss_driver_tile_cache_matches_streaming(tmp_path):
+    """demo_rsss with tile_cache on vs off: identical final + test confusion
+    matrices (same RNG stream; the cache feeds bit-compatible tiles)."""
+    from fcdgan_tpu.config import RSSSConfig
+    from fcdgan_tpu.data.synthetic import make_oscd_dataset
+    from fcdgan_tpu.demos import demo_rsss
+
+    d = str(tmp_path / "oscd")
+    make_oscd_dataset(d, train_scenes=("sa",), test_scenes=("sb",),
+                      xsize=72, ysize=72)
+    cms = {}
+    for mode in ("on", "off"):
+        cfg = RSSSConfig(img_dir=d, out_g_model_dir=str(tmp_path / ("g_" + mode)),
+                         init_num_epochs_g=1, num_epochs=1, init_batch_size=4,
+                         batch_size=4, patch_size=(40, 40), overlap_padding=(4, 4),
+                         msssim_weights=(0.5, 0.5), log_tensorboard=False,
+                         progress=False, tile_cache=mode, ext="_" + mode)
+        res = demo_rsss.run(cfg)
+        cms[mode] = (res["evaluator"].confusion_matrix.copy(),
+                     res["test_evaluator"].confusion_matrix.copy())
+    assert np.array_equal(cms["on"][0], cms["off"][0])
+    assert np.array_equal(cms["on"][1], cms["off"][1])
