@@ -45,6 +45,9 @@ PYEOF
 
 run_point headline --
 run_point driver_stream FCDGAN_DRIVER_FEED=stream -- --driver
+REPS=2 run_point infer_fused FCDGAN_INFER_FEED=auto -- --inference --density-dtype uint8
+REPS=2 run_point infer_fused_f32 FCDGAN_INFER_FEED=auto -- --inference --density-dtype float32
+REPS=2 run_point infer_cache FCDGAN_INFER_FEED=cache -- --inference --density-dtype uint8
 REPS=2 run_point infer_stream FCDGAN_INFER_FEED=stream -- --inference --density-dtype uint8
 REPS=2 run_point pool_pallas FCDGAN_POOL=pallas --
 echo "done; results in $OUT" >&2

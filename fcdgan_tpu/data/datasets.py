@@ -155,6 +155,21 @@ class ScenePairDataset:
         else:
             raster.write_block(interior, core[0], core[1])
 
+    def write_full(self, density: np.ndarray):
+        """Write the WHOLE stitched density raster in one call.
+
+        The fused device-stitched inference path (DeviceSceneCache.
+        stitched_density) downloads the finished scene once; this publishes
+        it with the same lazy creation + geo-metadata copy as the per-tile
+        ``write_default`` (parity target: data_utils.py:190-198)."""
+        if self._out is None:
+            if self.out_path is None:
+                self.out_path = self._default_out_path()
+            xs, ys, _ = self.size()
+            self._out = create_raster(self.out_path, xs, ys, 1, np.float32, like=self.raster_x)
+        d = density[..., 0] if density.ndim == 3 else density
+        self._out.write_block(d.astype(np.float32), 0, 0, band=0)
+
     def interior_sizes(self) -> np.ndarray:
         """(n_tiles, 2) core (h, w) per item for on-device interior masks."""
         return self.grid.interior_sizes()

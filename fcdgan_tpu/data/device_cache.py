@@ -96,6 +96,9 @@ class DeviceSceneCache:
         self._pref = put(padded(rr, ref_dtype)) if rr is not None else None
         self._origins = put(grid.canvas_origins())
         self._wins = put(grid.write_windows())
+        self._grid = grid
+        self._scene_hw = (dataset.raster_x.ysize, dataset.raster_x.xsize)
+        self._n_tiles = len(dataset)
 
         if normalize is not None:
             mx = np.asarray(normalize.meansX[:nband], np.float32)
@@ -182,6 +185,89 @@ class DeviceSceneCache:
     def loader(self, batch_size: int, dataset, shuffle: bool = False,
                seed: int = 0) -> IndexBatchLoader:
         return IndexBatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed)
+
+    def stitched_density(self, infer_fn, sstate, batch_size: int = 10,
+                         density_dtype: str = "float32"):
+        """Whole-scene stitched change density in ONE device program.
+
+        The pipelined stitcher pays per-batch dispatch + download round
+        trips (the measured cap on high-latency links; still PCIe traffic
+        on real hosts). Here the full pass fuses into one jit: a fori_loop
+        over wrap-padded tile chunks gathers+normalizes from the resident
+        scene, runs ``infer_fn(sstate, x, y)`` (traced inline), crops each
+        tile's stride-sized interior and stitches it into a device canvas
+        with disjoint dynamic_update_slice writes (tile cores tile the
+        scene disjointly at multiples of the stride; garbage rows of
+        truncated border tiles land beyond the scene bounds and are cropped
+        before download). One host->device transfer total (none), one
+        device->host download of the finished raster.
+
+        Reference semantics being reproduced: per-tile interior-only writes
+        of GDALwriteDefault (/root/reference/data_utils.py:178-213) under
+        the Demo_USSS inference loop (:404-473).
+
+        Returns the stitched density as a float32 (ysize, xsize) ndarray.
+        ``density_dtype='uint8'`` quantizes the download exactly like
+        eval.inference.quantized_infer (dequant error <= 1/510)."""
+        import jax
+        import jax.numpy as jnp
+
+        grid = self._grid
+        ph, pw = grid.canvas_shape()
+        padx, pady = grid.overlap_padding
+        sy, sx = ph - 2 * pady, pw - 2 * padx
+        hp2, wp2 = grid.padded_shape()
+        hs, ws = self._scene_hw
+        n = self._n_tiles
+        bs = min(batch_size, n)
+        n_chunks = -(-n // bs)
+        idxs = np.resize(np.arange(n, dtype=np.int32), n_chunks * bs)
+        idxs = idxs.reshape(n_chunks, bs)  # wrap-padded: dup tiles re-write
+        # identical interior values - stitching is idempotent
+
+        def run(chunks, px, py, pref, origins, wins, st):
+            def body(i, out):
+                ids = chunks[i]
+                arr = jnp.stack([ids, jnp.ones_like(ids)], axis=1)
+                x, y, _, _, _ = self._prep(arr, px, py, pref, origins, wins)
+                d = infer_fn(st, x, y).astype(jnp.float32)
+                core = jax.lax.slice(d, (0, pady, padx, 0),
+                                     (d.shape[0], pady + sy, padx + sx, 1))
+                org = origins[ids]
+
+                def write(j, out):
+                    return jax.lax.dynamic_update_slice(
+                        out, core[j], (org[j, 0], org[j, 1], 0))
+
+                return jax.lax.fori_loop(0, d.shape[0], write, out)
+
+            out = jax.lax.fori_loop(
+                0, chunks.shape[0], body,
+                jnp.zeros((hp2 - 2 * pady, wp2 - 2 * padx, 1), jnp.float32))
+            out = out[:hs, :ws, 0]
+            if density_dtype == "uint8":
+                out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+            elif density_dtype == "bfloat16":
+                out = out.astype(jnp.bfloat16)
+            return out
+
+        # memoize the jitted program per (forward fn, batch, dtype): a fresh
+        # jax.jit closure every call would re-trace and re-ship the full
+        # executable to the device on every invocation (measured 20s/pass on
+        # the remote relay vs ~50ms warm)
+        if not hasattr(self, "_stitch_jits"):
+            self._stitch_jits = {}
+        key = (id(infer_fn), bs, density_dtype)
+        fn = self._stitch_jits.get(key)
+        if fn is None:
+            fn = jax.jit(run)
+            self._stitch_jits[key] = fn
+        dev = fn(jnp.asarray(idxs), self._px, self._py, self._pref,
+                 self._origins, self._wins, sstate)
+        host = np.asarray(dev)
+        if density_dtype == "uint8":
+            return host.astype(np.float32) / 255.0
+        return host.astype(np.float32)
 
 
 class IndexPairBatchLoader(BatchLoader):
@@ -380,7 +466,7 @@ class DeviceOSCDCache:
         xs = np.zeros((n, ph, pw, nband), common)
         ys = np.zeros((n, ph, pw, nband), common)
         refs = np.zeros((n, ph, pw, 1), np.float32)
-        regions = np.zeros((n, ph, pw, 1), np.uint8)
+        regions = np.zeros((n, ph, pw, 1), np.float32)
         mx = np.zeros((n, nband), np.float32)
         sx = np.ones((n, nband), np.float32)
         my = np.zeros((n, nband), np.float32)
@@ -403,9 +489,11 @@ class DeviceOSCDCache:
                 refs[item, wy:wy + write[3], wx:wx + write[2]] = \
                     base.raster_ref.read_block(*read).astype(np.float32)
             if scene.raster_region is not None:
-                g = scene.raster_region.read_block(*read)
+                # exact host semantics (data_utils.py:273-282): only values
+                # >125 collapse to 1; smaller nonzero values pass through
+                g = scene.raster_region.read_block(*read).astype(np.float32)
                 regions[item, wy:wy + write[3], wx:wx + write[2]] = \
-                    (g > 125).astype(np.uint8)
+                    np.where(g > 125, np.float32(1), g)
             if base.enhance is not None:
                 mx[item] = np.asarray(base.enhance.meansX[:nband], np.float32)
                 sx[item] = np.asarray(base.enhance.stdX[:nband], np.float32)
@@ -444,7 +532,7 @@ class DeviceOSCDCache:
                 / sy[idx][:, None, None, :]
             zero = jnp.float32(0)
             return (jnp.where(mask, bx, zero), jnp.where(mask, by, zero),
-                    refs[idx], regions[idx].astype(jnp.float32), idx, weight)
+                    refs[idx], regions[idx], idx, weight)
 
         self._prep = jax.jit(prep)
 
@@ -462,7 +550,7 @@ class DeviceOSCDCache:
                 return False
         ph, pw = dataset.dslist[0].ds.grid.canvas_shape()
         nband = dataset.dslist[0].ds.raster_x.nband
-        per = ph * pw * (2 * nband * 2 + 4 + 1)  # u16 x/y + f32 ref + u8 region
+        per = ph * pw * (2 * nband * 2 + 4 + 4)  # u16 x/y + f32 ref/region
         limit = float(os.environ.get("FCDGAN_TILE_CACHE_MAX_MB", "4096"))
         return len(dataset) * per <= limit * 1e6
 

@@ -260,23 +260,47 @@ def run(cfg: USSSConfig) -> Dict:
     # -- inference + stitched write-back (Demo_USSS.py:404-473) -------------
     print("Saving Change Map and Model")
     print("Segmentation of Change")
-    if scene_cache is not None:
-        # tiles come from the device-resident scene; only the 1-band ref is
-        # read host-side (on the writer thread) for the eval/color maps
-        test_loader = scene_cache.loader(cfg.batch_size, dataset, shuffle=False)
-    else:
-        test_loader = BatchLoader(dataset, cfg.batch_size,
-                                  fields=("x", "y", "item", "ref"), shuffle=False)
+    if scene_cache is not None and not multihost:
+        # FUSED full-scene inference: one device program stitches the whole
+        # density raster (DeviceSceneCache.stitched_density), one download;
+        # color map + confusion + ROC vectorize over the full arrays (tile
+        # interiors tile the scene disjointly, so full-scene metrics equal
+        # the reference's per-interior accumulation exactly)
+        acc = Evaluator(num_class=len(cfg.gt_map))
+        from ..eval.roc import RocCurve
 
-    ph, pw = dataset.grid.canvas_shape()
-
-    def host_ref_tile(item: int) -> np.ndarray:
-        ref = np.zeros((ph, pw, 1), np.float32)
+        roc = RocCurve()
+        density = scene_cache.stitched_density(
+            steps.infer, sstate, batch_size=cfg.batch_size,
+            density_dtype=cfg.density_dtype)
+        dataset.write_full(density)
+        cmask_full = (density > cfg.prob_thresh).astype(np.int16)
+        ref_full = np.zeros_like(cmask_full)
         if dataset.raster_ref is not None:
-            _, read, write = dataset.grid.slices(item)
-            r = dataset.raster_ref.read_block(*read).astype(np.float32)
-            ref[write[1]:write[1] + write[3], write[0]:write[0] + write[2], :] = r
-        return ref
+            ref_full = dataset.raster_ref.read_block()[..., 0].astype(np.int16)
+        if cfg.write_color:
+            xs, ys, _ = dataset.size()
+            out_color = create_raster(out_color_path, xs, ys, 1, np.int32,
+                                      like=dataset.raster_x)
+            codes = write_changemap_gdal(cmask_full[None], ref_full[None],
+                                         write_color=True,
+                                         ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+            out_color.write_block(codes[0].astype(np.int32), 0, 0, band=0)
+            out_color.close()
+        acc.add_batch_map(ref_full, cmask_full,
+                          list(cfg.gt_map), list(cfg.pre_map))
+        roc.add_batch(density, ref_full == cfg.gt_map[1])
+        dataset.close_outputs()
+        from ..io.records import segmentation_summary
+
+        print(segmentation_summary(acc))
+        print("AUC: {:.4f}".format(roc.auc()))
+        print("\r" + "End of Saving", flush=True)
+        return _finish_usss(cfg, outdir, acc, roc, out_path, out_color_path,
+                            sstate, gstate, writer)
+
+    test_loader = BatchLoader(dataset, cfg.batch_size,
+                              fields=("x", "y", "item", "ref"), shuffle=False)
     acc = Evaluator(num_class=len(cfg.gt_map))
     from ..eval.roc import RocCurve
 
@@ -303,8 +327,7 @@ def run(cfg: USSSConfig) -> Dict:
                 continue
             item = int(batch["item"][ns])
             dataset.write_default(cmap[ns], item)
-            ref_hwc = batch["ref"][ns] if "ref" in batch else host_ref_tile(item)
-            ref_chw = np.moveaxis(ref_hwc, -1, 0)
+            ref_chw = np.moveaxis(batch["ref"][ns], -1, 0)
             cmask_chw = np.moveaxis(cmask[ns], -1, 0)
             if cfg.write_color:
                 if out_color is None:
@@ -338,8 +361,14 @@ def run(cfg: USSSConfig) -> Dict:
     dataset.close_outputs()
     if out_color is not None and hasattr(out_color, "close"):
         out_color.close()
+    return _finish_usss(cfg, outdir, acc, roc, out_path, out_color_path,
+                        sstate, gstate, writer)
 
-    # -- save + Para txt (Demo_USSS.py:477-501) ------------------------------
+
+def _finish_usss(cfg, outdir, acc, roc, out_path, out_color_path,
+                 sstate, gstate, writer):
+    """Save checkpoints + Para txt and build the result dict
+    (Demo_USSS.py:477-501)."""
     smodel_path = os.path.join(outdir, "SModel{}.ckpt".format(cfg.ext))
     gmodel_path = os.path.join(outdir, "GModel{}.ckpt".format(cfg.ext))
     if cfg.save_checkpoints:

@@ -172,6 +172,7 @@ def stitched_inference(
     density_dtype: str = "float32",
     crop_halo: bool = True,
     device_feed: str = "auto",
+    scene_cache=None,
 ) -> dict:
     """Run the segmentor over every tile and stitch the density raster.
 
@@ -189,6 +190,26 @@ def stitched_inference(
 
     ``crop_halo`` trims the overlap halo on device before the download
     (exact — stitching only ever reads the interior; see ``cropped_infer``)."""
+    # device_feed 'auto': FUSE the whole pass into one device program
+    # (DeviceSceneCache.stitched_density) — no per-batch dispatch/download
+    # round trips at all; one download of the finished raster. 'cache' =
+    # per-batch cache feed (pipelined), 'stream' = host tile assembly.
+    if device_feed == "auto":
+        from ..data.device_cache import DeviceSceneCache
+
+        if scene_cache is not None or DeviceSceneCache.supports(dataset):
+            cache = scene_cache or DeviceSceneCache(dataset, dataset.enhance)
+            t0 = time.perf_counter()
+            density = cache.stitched_density(infer_fn, sstate,
+                                             batch_size=batch_size,
+                                             density_dtype=density_dtype)
+            dataset.write_full(density)
+            seconds = time.perf_counter() - t0
+            dataset.close_outputs()
+            pixels = int(np.sum(np.prod(dataset.interior_sizes(), axis=1)))
+            return {"pixels": pixels, "seconds": seconds,
+                    "px_per_s": pixels / max(seconds, 1e-9), "fused": True}
+
     if crop_halo:
         infer_fn = cropped_infer(infer_fn, dataset.overlap_padding,
                                  dataset.patch_size)
