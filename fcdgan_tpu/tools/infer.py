@@ -84,6 +84,9 @@ class InferConfig:
     compute_dtype: str = "bfloat16"     # serving default; 'float32' for parity
     siamese_stats: str = "joint"        # must match the checkpoint's training
     density_dtype: str = "float32"      # uint8/bfloat16 = quantized download
+    # 'auto': HBM-resident scene + ONE fused device program for the whole
+    # stitched pass (zero per-batch transfers); 'stream' = pipelined tiles
+    device_feed: str = "auto"
     transfer_dtype: str = ""            # e.g. 'bfloat16': halve upload bytes
     prefetch_depth: int = 2
     n_devices: int = 0                  # data-parallel tiles over a mesh
@@ -175,6 +178,49 @@ def run(cfg: InferConfig) -> Dict:
 
     infer = jax.jit(lambda st, x, y: net_s.apply(
         st.variables, x, y, train=False).astype(jnp.float32))
+
+    # fused serving path: whole-scene density in one device program, one
+    # download; color/metrics/ROC vectorize over the full arrays (interiors
+    # tile the scene disjointly - Demo_USSS.py:404-473 semantics)
+    from ..data.device_cache import DeviceSceneCache
+
+    if (cfg.device_feed == "auto" and mesh is None
+            and DeviceSceneCache.supports(dataset)):
+        cache = DeviceSceneCache(dataset, scaler)
+        t0 = time.perf_counter()
+        density = cache.stitched_density(infer, sstate,
+                                         batch_size=cfg.batch_size,
+                                         density_dtype=cfg.density_dtype)
+        dataset.write_full(density)
+        out = {
+            "density_path": out_path,
+            "color_path": None,
+            "pixels": int(density.size),
+            "seconds": time.perf_counter() - t0,
+        }
+        out["px_per_s"] = out["pixels"] / max(out["seconds"], 1e-9)
+        acc = roc = None
+        if ref_path:
+            acc = Evaluator(num_class=len(cfg.gt_map))
+            roc = RocCurve()
+            cmask_full = (density > cfg.prob_thresh).astype(np.int16)
+            ref_full = dataset.raster_ref.read_block()[..., 0].astype(np.int16)
+            if cfg.write_color:
+                xs, ys, _ = dataset.size()
+                out_color = create_raster(out_color_path, xs, ys, 1, np.int32,
+                                          like=dataset.raster_x)
+                codes = write_changemap_gdal(
+                    cmask_full[None], ref_full[None], write_color=True,
+                    ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+                out_color.write_block(codes[0].astype(np.int32), 0, 0, band=0)
+                out_color.close()
+                out["color_path"] = out_color_path
+            acc.add_batch_map(ref_full, cmask_full,
+                              list(cfg.gt_map), list(cfg.pre_map))
+            roc.add_batch(density, ref_full == cfg.gt_map[1])
+        dataset.close_outputs()
+        return _summarize(out, acc, roc, cfg)
+
     # device-side halo trim before the download (exact: the density write,
     # color map, metrics, and ROC below consume tile interiors only)
     infer = cropped_infer(infer, cfg.overlap_padding, cfg.patch_size)
@@ -261,6 +307,10 @@ def run(cfg: InferConfig) -> Dict:
         "seconds": seconds,
         "px_per_s": pixels / max(seconds, 1e-9),
     }
+    return _summarize(out, acc, roc, cfg)
+
+
+def _summarize(out: Dict, acc, roc, cfg: InferConfig) -> Dict:
     if acc is not None:
         miou, ciou = acc.Mean_Intersection_over_Union()
         out.update(oa=acc.Pixel_Accuracy(), kappa=acc.Pixel_Kappa(),
