@@ -335,6 +335,28 @@ class OSCDDataset:
             )
         self.dslist[ds_idx].write(out_image, cur, self._writers[key])
 
+    def write_full_scene(self, ds_idx: int, array: np.ndarray, filter_name: str):
+        """Write one WHOLE scene raster for a (filter, scene) output in one
+        call (the fused device-stitched serving path; same lazy creation +
+        geo-metadata copy as :meth:`write`)."""
+        if array.ndim == 2:
+            array = array[..., None]
+        key = (filter_name, ds_idx)
+        if key not in self._writers:
+            base = self.dslist[ds_idx].ds
+            xs, ys, _ = base.size()
+            out_path = os.path.join(
+                self.img_dir, self.namelist[ds_idx], "ImagePair", filter_name
+            )
+            self._writers[key] = create_raster(
+                out_path, xs, ys, array.shape[-1], np.float32, like=base.raster_x
+            )
+        w = self._writers[key]
+        if array.shape[-1] == 1:
+            w.write_block(array[..., 0].astype(np.float32), 0, 0, band=0)
+        else:
+            w.write_block(array.astype(np.float32), 0, 0)
+
     def close_outputs(self):
         for w in self._writers.values():
             if hasattr(w, "close"):

@@ -422,6 +422,15 @@ class DeviceWHUCache:
                                             self._nx, self._ny)
         return Batch(x=x, y=y, item=item, weight=weight)
 
+    def complete_c(self, batch: Dict) -> Dict:
+        """Changed-slice batch from the resident stacks (the WSSS final
+        inference runs over the changed set, Demo_WSSS.py:387-445)."""
+        arr = np.stack([np.asarray(batch["item"], np.int32),
+                        np.asarray(batch["weight"], np.int32)], axis=1)
+        x, y, item, weight = self._unc_prep(self._put_arr(arr),
+                                            self._cx, self._cy)
+        return Batch(x=x, y=y, item=item, weight=weight)
+
     def pair_loader(self, batch_size: int, pair_ds, shuffle: bool = False,
                     seed: int = 0, epoch_hook=None) -> IndexPairBatchLoader:
         return IndexPairBatchLoader(pair_ds, batch_size, shuffle=shuffle,

@@ -251,15 +251,34 @@ def run(cfg: WSSSConfig) -> Dict:
     print("Segmentation of Change")
     c_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
                       scale=scaler, label_selected="1")
-    test_loader = BatchLoader(c_ds, cfg.batch_size, fields=fields, shuffle=False)
+    # the changed set == the pair's changed side, so it feeds from the
+    # resident slice stacks; the 1-band refs are read on the writer thread
+    c_cached = (whu_cache is not None
+                and c_ds.img_path_x == pair_ds.c_ds.img_path_x)
+    if c_cached:
+        from ..data.device_cache import IndexBatchLoader
+
+        test_loader = IndexBatchLoader(c_ds, cfg.batch_size, shuffle=False)
+    else:
+        test_loader = BatchLoader(c_ds, cfg.batch_size, fields=fields, shuffle=False)
     acc = Evaluator(num_class=2)
     from PIL import Image
 
     from ..eval.inference import run_overlapped
 
+    def host_ref_slice(item: int) -> np.ndarray:
+        # WHUDataset ref semantics (data_utils.py:501-508): binarized when
+        # the slice is labeled changed, zeros otherwise
+        li = c_ds.label_list[item]
+        if int(li[3]) == 1:
+            r = np.array(Image.open(c_ds.ref_path[item]))
+            return (r > 0).astype(np.float32)
+        probe = np.array(Image.open(c_ds.img_path_x[item]))
+        return np.zeros(probe.shape[:2], np.float32)
+
     def infer_compute(batch):
         nonlocal sstate  # train-mode forward threads updated BN stats
-        db = put(batch)
+        db = whu_cache.complete_c(batch) if c_cached else put(batch)
         cmap_dev, sstate = steps.infer_train_mode(sstate, db["x"], db["y"])
         return cmap_dev
 
@@ -272,7 +291,8 @@ def run(cfg: WSSSConfig) -> Dict:
                 continue
             item = int(batch["item"][ns])
             change_mask = cmask[ns, :, :, 0]
-            ref_mask = batch["ref"][ns][:, :, 0]
+            ref_mask = (batch["ref"][ns][:, :, 0] if "ref" in batch
+                        else host_ref_slice(item))
             acc.add_batch(ref_mask.astype(np.int16), change_mask)
             change_write = write_changemap(change_mask, ref_mask, cfg.write_color)
             out_path = os.path.join(out_dir, c_ds.get_file_name(item))

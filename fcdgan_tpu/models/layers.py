@@ -525,7 +525,9 @@ def pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch the 2x2/2 max pool (FCDGAN_POOL=pallas|wsplit|mask|xla;
     default xla select_and_scatter — see each alternative's docstring for
     its measured A/B; pallas measured 9.4x SLOWER than select_and_scatter
-    at block-2 shapes on v5e, round 3 — default stays xla)."""
+    at block-2 shapes in isolation and, with the c>=128 Mosaic gate, whole
+    joint step 3.20 vs 3.59 Mpx/s on v5e (ab_round3.jsonl pool_pallas) —
+    default stays xla)."""
     import os
 
     mode = os.environ.get("FCDGAN_POOL")

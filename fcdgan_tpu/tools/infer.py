@@ -484,6 +484,55 @@ def run_oscd(cfg: InferConfig) -> Dict:
 
     infer = jax.jit(lambda st, x, y: net_s.apply(
         st.variables, x, y, train=False).astype(jnp.float32))
+
+    # fused serving: one device program + one download PER SCENE (tile
+    # interiors tile each scene disjointly, so full-array color/metrics
+    # equal the per-EffRange accumulation exactly)
+    from ..data.device_cache import DeviceSceneCache
+
+    if (cfg.device_feed == "auto" and mesh is None
+            and all(DeviceSceneCache.supports(s.ds) for s in dataset.dslist)):
+        acc = Evaluator(num_class=len(cfg.gt_map))
+        roc = RocCurve()
+        pixels = 0
+        t0 = time.perf_counter()
+        for s_idx, scene in enumerate(dataset.dslist):
+            base = scene.ds
+            cache = DeviceSceneCache(base, base.enhance)
+            density = cache.stitched_density(infer, sstate,
+                                             batch_size=cfg.batch_size,
+                                             density_dtype=cfg.density_dtype)
+            dataset.write_full_scene(s_idx, density, density_name)
+            cmask_full = (density > cfg.prob_thresh).astype(np.int16)
+            ref_full = np.zeros_like(cmask_full)
+            if base.raster_ref is not None:
+                ref_full = base.raster_ref.read_block()[..., 0].astype(np.int16)
+            codes = write_changemap_gdal(
+                cmask_full[None], ref_full[None], write_color=cfg.write_color,
+                ref_map=cfg.gt_map, dt_map=cfg.pre_map)
+            dataset.write_full_scene(s_idx, codes[0].astype(np.float32),
+                                     color_name)
+            acc.add_batch_map(ref_full, cmask_full,
+                              list(cfg.gt_map), list(cfg.pre_map))
+            roc.add_batch(density, ref_full == cfg.gt_map[1])
+            pixels += int(density.size)
+        seconds = time.perf_counter() - t0
+        dataset.close_outputs()
+        miou, ciou = acc.Mean_Intersection_over_Union()
+        out = {
+            "scenes": dataset.namelist,
+            "density_name": density_name, "color_name": color_name,
+            "pixels": pixels, "seconds": seconds,
+            "px_per_s": pixels / max(seconds, 1e-9),
+            "oa": acc.Pixel_Accuracy(), "kappa": acc.Pixel_Kappa(),
+            "precision": acc.Pixel_Precision_Rate(),
+            "recall": acc.Pixel_Recall_Rate(), "f1": acc.Pixel_F1_score(),
+            "miou": miou, "ciou": ciou, "auc": roc.auc(),
+            "evaluator": acc,
+        }
+        print(_json_line(out))
+        return out
+
     # device-side halo trim before the download (exact; see cropped_infer)
     infer = cropped_infer(infer, cfg.overlap_padding, cfg.patch_size)
     infer_q, dequant = quantized_infer(infer, cfg.density_dtype)

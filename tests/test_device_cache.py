@@ -289,3 +289,20 @@ def test_fused_stitched_density_matches_pipelined(tmp_path):
         outs[feed] = TiffReader(out).read_block()[..., 0]
         assert stats["pixels"] == 100 * 90
     assert np.array_equal(outs["auto"], outs["cache"])
+
+
+def test_whu_cache_changed_matches(tmp_path):
+    from fcdgan_tpu.data.device_cache import DeviceWHUCache
+
+    pair, scaler = _whu(tmp_path)
+    cache = DeviceWHUCache(pair, scaler)
+    host = BatchLoader(pair.c_ds, 2, fields=("x", "y", "ref", "item", "label"),
+                       shuffle=False)
+    idx = IndexBatchLoader(pair.c_ds, 2, shuffle=False)
+    for hb, ib in zip(iter(host), iter(idx)):
+        db = cache.complete_c(ib)
+        for k in ("x", "y"):
+            got, want = np.asarray(db[k]), np.asarray(hb[k])
+            tol = np.spacing(np.abs(want).astype(np.float32))
+            assert np.all(np.abs(got - want) <= tol), k
+        assert np.array_equal(np.asarray(db["weight"]), hb["weight"])
