@@ -242,8 +242,10 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
         budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0,
                   "epoch_sync_s": 0.0}
 
+        prev_av = None  # last epoch's totals, read one epoch late (see below)
+
         def epoch(i, timed=False):
-            nonlocal gstate, sstate
+            nonlocal gstate, sstate, prev_av
             av = EpochAverages(len(dataset))
             lr = JOINT_USSS(i)
             it = prefetch(iter(loader), 2)
@@ -269,8 +271,15 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
                     budget["load_s"] += t1 - t0
                     budget["put_s"] += t2 - t1
                     budget["dispatch_s"] += t3 - t2
+            # deferred epoch sync (mirrors the drivers' DeferredEpochEnd):
+            # kick off THIS epoch's packed download without blocking, then
+            # resolve the PREVIOUS epoch's totals — that read overlaps the
+            # device still executing this epoch's queued steps, so the only
+            # unhidden sync is the final epoch's (counted in the run below).
             ts = time.perf_counter()
-            out = av["NetLoss"]  # downloads epoch totals (the real sync)
+            av.start_read()
+            out = prev_av["NetLoss"] if prev_av is not None else None
+            prev_av = av
             if timed:
                 budget["epoch_sync_s"] += time.perf_counter() - ts
             return out
@@ -280,6 +289,9 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
         t0 = time.perf_counter()
         for i in range(epochs):
             epoch(i + 1, timed=True)
+        ts = time.perf_counter()
+        prev_av["NetLoss"]  # the last epoch's (only unhidden) sync
+        budget["epoch_sync_s"] += time.perf_counter() - ts
         dt = time.perf_counter() - t0
 
     px = len(dataset) * 220 * 220 * epochs

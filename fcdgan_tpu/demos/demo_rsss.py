@@ -32,7 +32,7 @@ from ..models import Discriminator, Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, shard_batch
 from ..train import schedules
-from ..train.loops import EpochAverages, Progress, accuracy_line
+from ..train.loops import DeferredEpochEnd, EpochAverages, Progress, accuracy_line
 from ..train.optim import adam, rmsprop
 from ..utils.runtime import enable_compile_cache
 from ..train.state import create_net_state
@@ -181,6 +181,9 @@ def run(cfg: RSSSConfig) -> Dict:
 
     writer = ScalarWriter(comment="RSSS_OSCD{}".format(cfg.ext),
                           enabled=cfg.log_tensorboard)
+    # epoch summaries resolve one epoch late (same content/order) so the
+    # metric downloads overlap the next epoch's device execution
+    deferred = DeferredEpochEnd(enabled=not cfg.progress)
 
     # -- phase 1: G pretrain with region masks (Demo_RSSS.py:173-238) --------
     print("Start Generator Training")
@@ -197,15 +200,21 @@ def run(cfg: RSSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        print("Epochs: {}/{}, g_loss: {:.4f}, generator_loss: {:.4f}, "
-              "perception_loss:{:.4f}, ssim_loss:{:.4f}".format(
-                  i + 1, init_epochs_g, av["g_loss"], av["generator_loss"],
-                  av["perception_loss"], av["ssim_loss"]))
-        writer.add_scalars({k: av[k] for k in
-                            ("g_loss", "generator_loss", "perception_loss", "ssim_loss")}, i)
-        ckpt.maybe_save("g", i, netG=gstate)
+
+        def _g_end(i=i, av=av, g=gstate):
+            print("Epochs: {}/{}, g_loss: {:.4f}, generator_loss: {:.4f}, "
+                  "perception_loss:{:.4f}, ssim_loss:{:.4f}".format(
+                      i + 1, init_epochs_g, av["g_loss"], av["generator_loss"],
+                      av["perception_loss"], av["ssim_loss"]))
+            writer.add_scalars({k: av[k] for k in
+                                ("g_loss", "generator_loss", "perception_loss",
+                                 "ssim_loss")}, i)
+            ckpt.maybe_save("g", i, netG=g)
+
+        deferred.schedule(av, _g_end)
 
     # -- phase 2: adversarial + per-epoch test eval (Demo_RSSS.py:244-447) ---
+    deferred.flush()
     print("Start Adversarial Training")
     results_last_test = None
     for i in range(starts["adv"], cfg.num_epochs):
@@ -223,18 +232,6 @@ def run(cfg: RSSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        ev = av.evaluator(len(cfg.gt_map))
-        print("Epochs: {}/{}, d_loss: {:.4f}, g_loss: {:.4f}, s_loss: {:.4f}, "
-              "l1_loss:{:.4f}, s_d_loss: {:.4f}, r_loss: {:.4f}".format(
-                  i + 1, cfg.num_epochs, av["d_loss"], av["g_loss"], av["s_loss"],
-                  av["l1_loss"], av["s_d_loss"], av["r_loss"]))
-        print(accuracy_line(i, cfg.num_epochs, ev))
-        step = i + init_epochs_g
-        writer.add_scalars({k: av[k] for k in
-                            ("g_loss", "d_loss", "s_loss", "s_d_loss", "l1_loss",
-                             "r_loss", "generator_loss", "perception_loss",
-                             "ssim_loss")}, step)
-        _log_accuracy(writer, ev, step, prefix="")
 
         # per-epoch test evaluation (Demo_RSSS.py:399-447): confusion
         # accumulates on device via EpochAverages — one download per epoch
@@ -259,21 +256,45 @@ def run(cfg: RSSSConfig) -> Dict:
                                              db["ref"], db["item"],
                                              db["weight"])
             test_av.update({"confusion": cm}, 0.0)
-        test_acc = Evaluator(num_class=len(cfg.gt_map))
-        if test_av.confusion is not None:
-            test_acc.add_confusion(test_av.confusion)
-        miou, ciou = test_acc.Mean_Intersection_over_Union()
-        print("Test Dataset: Overall Accuracy: {:.4f}, Kappa: {:.4f}, "
-              "Precision Rate: {:.4f}, Recall Rate: {:.4f}, F1:{:.4f}, "
-              "mIOU:{:.4f}, cIoU:{:.4f}".format(
-                  test_acc.Pixel_Accuracy(), test_acc.Pixel_Kappa(),
-                  test_acc.Pixel_Precision_Rate(), test_acc.Pixel_Recall_Rate(),
-                  test_acc.Pixel_F1_score(), miou, ciou))
-        _log_accuracy(writer, test_acc, step, prefix="Test ")
-        results_last_test = test_acc
-        ckpt.maybe_save("adv", i, netG=gstate, netS=sstate, netD=dstate)
+
+        # the whole epoch summary (train metrics line, test-dataset line,
+        # tensorboard rows, checkpoint) resolves one epoch late so both
+        # downloads overlap the next epoch's device execution; print/line
+        # ORDER is unchanged (train lines, then the test line)
+        def _adv_end(i=i, av=av, test_av=test_av, g=gstate, s=sstate, d=dstate):
+            nonlocal results_last_test
+            ev = av.evaluator(len(cfg.gt_map))
+            print("Epochs: {}/{}, d_loss: {:.4f}, g_loss: {:.4f}, s_loss: {:.4f}, "
+                  "l1_loss:{:.4f}, s_d_loss: {:.4f}, r_loss: {:.4f}".format(
+                      i + 1, cfg.num_epochs, av["d_loss"], av["g_loss"],
+                      av["s_loss"], av["l1_loss"], av["s_d_loss"], av["r_loss"]))
+            print(accuracy_line(i, cfg.num_epochs, ev))
+            step = i + init_epochs_g
+            writer.add_scalars({k: av[k] for k in
+                                ("g_loss", "d_loss", "s_loss", "s_d_loss",
+                                 "l1_loss", "r_loss", "generator_loss",
+                                 "perception_loss", "ssim_loss")}, step)
+            _log_accuracy(writer, ev, step, prefix="")
+            test_acc = Evaluator(num_class=len(cfg.gt_map))
+            if test_av.confusion is not None:
+                test_acc.add_confusion(test_av.confusion)
+            miou, ciou = test_acc.Mean_Intersection_over_Union()
+            print("Test Dataset: Overall Accuracy: {:.4f}, Kappa: {:.4f}, "
+                  "Precision Rate: {:.4f}, Recall Rate: {:.4f}, F1:{:.4f}, "
+                  "mIOU:{:.4f}, cIoU:{:.4f}".format(
+                      test_acc.Pixel_Accuracy(), test_acc.Pixel_Kappa(),
+                      test_acc.Pixel_Precision_Rate(),
+                      test_acc.Pixel_Recall_Rate(),
+                      test_acc.Pixel_F1_score(), miou, ciou))
+            _log_accuracy(writer, test_acc, step, prefix="Test ")
+            results_last_test = test_acc
+            ckpt.maybe_save("adv", i, netG=g, netS=s, netD=d)
+
+        av.start_read()  # pack+start the train download before deferring
+        deferred.schedule(test_av, _adv_end)
 
     # -- final inference: density + color rasters per scene (:449-504) -------
+    deferred.flush()
     print("Saving Change Map and Model")
     print("Segmentation of Change")
     acc = Evaluator(num_class=len(cfg.gt_map))

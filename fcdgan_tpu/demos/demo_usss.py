@@ -36,7 +36,7 @@ from ..models import Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, shard_batch
 from ..train import schedules
-from ..train.loops import EpochAverages, Progress, accuracy_line
+from ..train.loops import DeferredEpochEnd, EpochAverages, Progress, accuracy_line
 from ..train.optim import adam
 from ..utils.runtime import enable_compile_cache
 from ..train.state import create_net_state
@@ -176,6 +176,10 @@ def run(cfg: USSSConfig) -> Dict:
         print("Resuming from phase {} epoch {}".format(meta["phase"], meta["epoch"]))
 
     writer = ScalarWriter(comment="USSS{}".format(cfg.ext), enabled=cfg.log_tensorboard)
+    # epoch summaries resolve one epoch late (same content/order) so the
+    # metric download overlaps the next epoch's device execution; live
+    # progress lines force inline resolution to keep stdout ordering
+    deferred = DeferredEpochEnd(enabled=not cfg.progress)
 
     loss_keys = ("NetLoss", "generator_loss", "l1_loss", "perception_loss", "ssim_loss")
     loss_labels = ("NetLoss Loss", "generator_loss Loss", "l1_loss Loss",
@@ -204,11 +208,16 @@ def run(cfg: USSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        loss_print(i, cfg.init_num_epochs_g, av)
-        log_losses(av, i)
-        ckpt.maybe_save("g", i, netG=gstate)
+
+        def _g_end(i=i, av=av, g=gstate):
+            loss_print(i, cfg.init_num_epochs_g, av)
+            log_losses(av, i)
+            ckpt.maybe_save("g", i, netG=g)
+
+        deferred.schedule(av, _g_end)
 
     # -- phase 2: segmentor init (Demo_USSS.py:192-286) ---------------------
+    deferred.flush()
     print("Start Initial Segmentor Training")
     for i in range(starts["s"], cfg.init_num_epochs_s):
         lr = schedules.S_INIT_USSS(i) * cfg.lr_scale
@@ -224,15 +233,20 @@ def run(cfg: USSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        ev = av.evaluator(len(cfg.gt_map))
-        loss_print(i, cfg.init_num_epochs_s, av)
-        print(accuracy_line(i, cfg.init_num_epochs_s, ev))
-        step = i + cfg.init_num_epochs_g
-        log_losses(av, step)
-        _log_accuracy(writer, ev, step)
-        ckpt.maybe_save("s", i, netG=gstate, netS=sstate)
+
+        def _s_end(i=i, av=av, g=gstate, s=sstate):
+            ev = av.evaluator(len(cfg.gt_map))
+            loss_print(i, cfg.init_num_epochs_s, av)
+            print(accuracy_line(i, cfg.init_num_epochs_s, ev))
+            step = i + cfg.init_num_epochs_g
+            log_losses(av, step)
+            _log_accuracy(writer, ev, step)
+            ckpt.maybe_save("s", i, netG=g, netS=s)
+
+        deferred.schedule(av, _s_end)
 
     # -- phase 3: joint alternating (Demo_USSS.py:289-400) ------------------
+    deferred.flush()
     print("Start Training")
     for i in range(starts["joint"], cfg.num_epochs):
         lr_s = schedules.JOINT_USSS(i) * cfg.lr_scale
@@ -249,15 +263,20 @@ def run(cfg: USSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        ev = av.evaluator(len(cfg.gt_map))
-        loss_print(i, cfg.num_epochs, av)
-        print(accuracy_line(i, cfg.num_epochs, ev))
-        step = i + cfg.init_num_epochs_g + cfg.init_num_epochs_s
-        log_losses(av, step)
-        _log_accuracy(writer, ev, step)
-        ckpt.maybe_save("joint", i, netG=gstate, netS=sstate)
+
+        def _joint_end(i=i, av=av, g=gstate, s=sstate):
+            ev = av.evaluator(len(cfg.gt_map))
+            loss_print(i, cfg.num_epochs, av)
+            print(accuracy_line(i, cfg.num_epochs, ev))
+            step = i + cfg.init_num_epochs_g + cfg.init_num_epochs_s
+            log_losses(av, step)
+            _log_accuracy(writer, ev, step)
+            ckpt.maybe_save("joint", i, netG=g, netS=s)
+
+        deferred.schedule(av, _joint_end)
 
     # -- inference + stitched write-back (Demo_USSS.py:404-473) -------------
+    deferred.flush()
     print("Saving Change Map and Model")
     print("Segmentation of Change")
     if scene_cache is not None and not multihost:

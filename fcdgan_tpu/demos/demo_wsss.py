@@ -34,7 +34,7 @@ from ..models import Discriminator, Generator, Segmentor
 from ..models.vgg import load_vgg16_params, select_feature_layers
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate_state, shard_batch
 from ..train import schedules
-from ..train.loops import EpochAverages, Progress, accuracy_line
+from ..train.loops import DeferredEpochEnd, EpochAverages, Progress, accuracy_line
 from ..train.optim import adam, rmsprop
 from ..utils.runtime import enable_compile_cache
 from ..train.state import create_net_state
@@ -189,6 +189,9 @@ def run(cfg: WSSSConfig) -> Dict:
 
     writer = ScalarWriter(comment="Building_WSSS{}".format(cfg.ext),
                           enabled=cfg.log_tensorboard)
+    # epoch summaries resolve one epoch late (same content/order) so the
+    # metric download overlaps the next epoch's device execution
+    deferred = DeferredEpochEnd(enabled=not cfg.progress)
 
     # -- phase 1: G pretrain on unchanged pairs (Demo_WSSS.py:140-204) -------
     print("Start Generator Training")
@@ -204,15 +207,21 @@ def run(cfg: WSSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        print("Epochs: {}/{}, g_loss: {:.4f}, generator_loss: {:.4f}, "
-              "perception_loss:{:.4f}, ssim_loss:{:.4f}".format(
-                  i + 1, init_epochs_g, av["g_loss"], av["generator_loss"],
-                  av["perception_loss"], av["ssim_loss"]))
-        writer.add_scalars({k: av[k] for k in
-                            ("g_loss", "generator_loss", "perception_loss", "ssim_loss")}, i)
-        ckpt.maybe_save("g", i, netG=gstate)
+
+        def _g_end(i=i, av=av, g=gstate):
+            print("Epochs: {}/{}, g_loss: {:.4f}, generator_loss: {:.4f}, "
+                  "perception_loss:{:.4f}, ssim_loss:{:.4f}".format(
+                      i + 1, init_epochs_g, av["g_loss"], av["generator_loss"],
+                      av["perception_loss"], av["ssim_loss"]))
+            writer.add_scalars({k: av[k] for k in
+                                ("g_loss", "generator_loss", "perception_loss",
+                                 "ssim_loss")}, i)
+            ckpt.maybe_save("g", i, netG=g)
+
+        deferred.schedule(av, _g_end)
 
     # -- phase 2: adversarial S vs D (Demo_WSSS.py:208-385) ------------------
+    deferred.flush()
     print("Start Adversarial Training")
     adv_keys = ("d_loss", "g_loss", "s_loss", "l1_loss", "nc_loss", "s_d_loss")
     for i in range(starts["adv"], cfg.num_epochs):
@@ -230,23 +239,28 @@ def run(cfg: WSSSConfig) -> Dict:
             av.update(m, bw)
             prog.end_batch(int(bw))
         prog.finish()
-        ev = av.evaluator(2)
-        print("Epochs: {}/{}, d_loss: {:.4f}, g_loss: {:.4f}, s_loss: {:.4f}, "
-              "l1_loss:{:.4f}, nc_loss:{:.4f}, s_d_loss: {:.4f}".format(
-                  i + 1, cfg.num_epochs, av["d_loss"], av["g_loss"], av["s_loss"],
-                  av["l1_loss"], av["nc_loss"], av["s_d_loss"]))
-        print(accuracy_line(i, cfg.num_epochs, ev))
-        step = i + init_epochs_g
-        writer.add_scalars({k: av[k] for k in adv_keys}, step)
-        writer.add_scalars({
-            "generator_loss": av["generator_loss"],
-            "perception_loss": av["perception_loss"],
-            "ssim_loss": av["ssim_loss"],
-        }, step)
-        _log_accuracy(writer, ev, step)
-        ckpt.maybe_save("adv", i, netG=gstate, netS=sstate, netD=dstate)
+
+        def _adv_end(i=i, av=av, g=gstate, s=sstate, d=dstate):
+            ev = av.evaluator(2)
+            print("Epochs: {}/{}, d_loss: {:.4f}, g_loss: {:.4f}, s_loss: {:.4f}, "
+                  "l1_loss:{:.4f}, nc_loss:{:.4f}, s_d_loss: {:.4f}".format(
+                      i + 1, cfg.num_epochs, av["d_loss"], av["g_loss"],
+                      av["s_loss"], av["l1_loss"], av["nc_loss"], av["s_d_loss"]))
+            print(accuracy_line(i, cfg.num_epochs, ev))
+            step = i + init_epochs_g
+            writer.add_scalars({k: av[k] for k in adv_keys}, step)
+            writer.add_scalars({
+                "generator_loss": av["generator_loss"],
+                "perception_loss": av["perception_loss"],
+                "ssim_loss": av["ssim_loss"],
+            }, step)
+            _log_accuracy(writer, ev, step)
+            ckpt.maybe_save("adv", i, netG=g, netS=s, netD=d)
+
+        deferred.schedule(av, _adv_end)
 
     # -- final inference on CHANGED set, train-mode BN (Demo_WSSS.py:387-445)
+    deferred.flush()
     print("Saving Change Map and Model")
     print("Segmentation of Change")
     c_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,

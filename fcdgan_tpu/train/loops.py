@@ -29,10 +29,11 @@ from ..utils.timing import progress_line
 
 _ACC = None  # lazily jitted device accumulators (shared across instances)
 _INIT = None
+_PACK = None
 
 
 def _acc_fns():
-    global _ACC, _INIT
+    global _ACC, _INIT, _PACK
     if _ACC is None:
         import jax
         import jax.numpy as jnp
@@ -57,7 +58,23 @@ def _acc_fns():
             ),
             donate_argnums=(0,),
         )
-    return _INIT, _ACC
+
+        def pack(sums):
+            # one flat f32 vector so the epoch download is ONE transfer:
+            # on a remote-relay link `device_get` pays ~a round trip PER
+            # BUFFER (~8 leaves x 30-40 ms measured = the entire driver-vs-
+            # step gap, ab_round3.jsonl headline `epoch_sync_ms` 268.8).
+            # int32 counts ride exactly via bitcast, not a value cast.
+            leaves = []
+            for k in sorted(sums):
+                v = sums[k]
+                if v.dtype == jnp.int32:
+                    v = jax.lax.bitcast_convert_type(v, jnp.float32)
+                leaves.append(jnp.ravel(v))
+            return jnp.concatenate(leaves)
+
+        _PACK = jax.jit(pack)
+    return _INIT, _ACC, _PACK
 
 
 class EpochAverages:
@@ -83,13 +100,14 @@ class EpochAverages:
         self.total = max(total_size, 1)
         self._dev = None
         self._dev_n = 0
+        self._pending = None
         self._folded: Optional[Dict] = None
         self._host: Optional[Dict[str, float]] = None
         self._window: deque = deque()
         self._inflight = max(int(inflight), 0)
 
     def update(self, metrics: Dict, batch_weight_sum: float) -> None:
-        init, acc = _acc_fns()
+        init, acc, _ = _acc_fns()
         scale = batch_weight_sum / self.total
         if self._dev is None:
             self._dev = init(metrics, scale)
@@ -112,24 +130,59 @@ class EpochAverages:
 
                 jax.block_until_ready(self._window.popleft())
 
-    def _fold(self) -> None:
-        """Download the device totals and fold into 64-bit host sums."""
-        if self._dev is None:
-            return
-        import jax
-
-        vals = jax.device_get(self._dev)
-        if self._folded is None:
-            self._folded = {}
-        for k, v in vals.items():
-            if k == "confusion":
-                v = np.asarray(v, dtype=np.int64)
-                prev = self._folded.get(k)
-                self._folded[k] = v if prev is None else prev + v
-            else:
-                self._folded[k] = self._folded.get(k, 0.0) + float(v)
+    def _pack(self):
+        """Flatten the device totals into one f32 vector (single transfer)
+        plus the host-side unpack recipe; clears the device accumulator."""
+        _, _, pack = _acc_fns()
+        shapes = [(k, tuple(np.shape(v)), str(v.dtype))
+                  for k, v in sorted(self._dev.items())]
+        packed = pack(dict(self._dev))
         self._dev = None
         self._dev_n = 0
+        return packed, shapes
+
+    def start_read(self) -> None:
+        """Kick off the epoch download without blocking: packs the totals
+        and starts the device->host copy. A later read folds the result.
+        No-op when nothing is pending."""
+        if self._dev is None or self._pending is not None:
+            return
+        packed, shapes = self._pack()
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending = (packed, shapes)
+
+    def _fold(self) -> None:
+        """Download any packed pending read AND current device totals,
+        folding both into the 64-bit host sums."""
+        if self._pending is not None:
+            packed, shapes = self._pending
+            self._pending = None
+            self._fold_packed(packed, shapes)
+        if self._dev is not None:
+            self._fold_packed(*self._pack())
+
+    def _fold_packed(self, packed, shapes) -> None:
+        flat = np.asarray(packed)
+        if self._folded is None:
+            self._folded = {}
+        off = 0
+        for k, shp, dt in shapes:
+            n = int(np.prod(shp)) if shp else 1
+            v = flat[off:off + n]
+            off += n
+            if dt == "int32":
+                v = v.view(np.int32).astype(np.int64).reshape(shp)
+                prev = self._folded.get(k)
+                self._folded[k] = v if prev is None else prev + v
+            elif n == 1:
+                self._folded[k] = self._folded.get(k, 0.0) + float(v[0])
+            else:
+                v = v.astype(np.float64).reshape(shp)
+                prev = self._folded.get(k)
+                self._folded[k] = v if prev is None else prev + v
 
     def _finalize(self) -> Dict:
         if self._host is None:
@@ -153,6 +206,39 @@ class EpochAverages:
         if cm is not None:
             ev.add_confusion(cm)
         return ev
+
+
+class DeferredEpochEnd:
+    """Resolve each epoch's summary work (metric prints, tensorboard rows,
+    checkpoint saves) one epoch LATE, so the epoch metric download overlaps
+    the device executing the next epoch's already-dispatched steps instead
+    of draining the queue (the reference prints inline each epoch,
+    Demo_USSS.py:366-372 — content and ORDER are identical here, only the
+    wall-clock moment of the print shifts by <=1 epoch).
+
+    Only used when live '\\r' progress lines are off (``enabled``): with
+    them on, next-epoch progress output would interleave ahead of this
+    epoch's summary. The driver schedules a closure capturing ``av`` (and
+    the epoch's model states for the checkpoint save); ``flush`` runs the
+    pending one and MUST be called before any other stdout or phase
+    transition."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._pending = None
+
+    def schedule(self, av: "EpochAverages", fn) -> None:
+        if not self.enabled:
+            fn()
+            return
+        self.flush()
+        av.start_read()  # kick the packed download now, non-blocking
+        self._pending = fn
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            fn, self._pending = self._pending, None
+            fn()
 
 
 class Progress:
