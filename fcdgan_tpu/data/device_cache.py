@@ -44,6 +44,92 @@ class IndexBatchLoader(BatchLoader):
             yield Batch(item=np.asarray(idx, np.int64), weight=weight)
 
 
+_SCENE_PREP = None  # module-level jits: normalizers are TRACED args and
+_STITCH_RUN = None  # geometry is static, so same-geometry scenes (the OSCD
+#                     multi-scene case) share ONE compiled program instead of
+#                     re-tracing per scene, and the persistent compile cache
+#                     hits across runs (constants no longer baked per scene)
+
+
+def _scene_jits():
+    global _SCENE_PREP, _STITCH_RUN
+    if _SCENE_PREP is not None:
+        return _SCENE_PREP, _STITCH_RUN
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def prep(geom, arr, px, py, pref, origins, wins, norm):
+        ph, pw = geom
+        mx, sx, my, sy = norm
+        idx = arr[:, 0]
+        weight = arr[:, 1].astype(jnp.float32)
+        org = origins[idx]  # (B, 2) (row, col)
+        win = wins[idx]     # (B, 4) (x0, y0, w, h)
+
+        def slc(plane, o):
+            return jax.lax.dynamic_slice(
+                plane, (o[0], o[1], 0), (ph, pw, plane.shape[2]))
+
+        x_raw = jax.vmap(slc, in_axes=(None, 0))(px, org)
+        y_raw = jax.vmap(slc, in_axes=(None, 0))(py, org)
+        # same masked-normalize math as pipeline.DeviceNormalizer
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, ph, 1, 1), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw, 1), 2)
+        x0 = win[:, 0][:, None, None, None]
+        y0 = win[:, 1][:, None, None, None]
+        ww = win[:, 2][:, None, None, None]
+        wh = win[:, 3][:, None, None, None]
+        mask = (row >= y0) & (row < y0 + wh) & (col >= x0) & (col < x0 + ww)
+        xf = (x_raw.astype(jnp.float32) - mx) / sx
+        yf = (y_raw.astype(jnp.float32) - my) / sy
+        zero = jnp.float32(0)
+        x = jnp.where(mask, xf, zero)
+        y = jnp.where(mask, yf, zero)
+        if pref is None:
+            ref = jnp.zeros((arr.shape[0], ph, pw, 1), jnp.float32)
+        else:
+            ref = jax.vmap(slc, in_axes=(None, 0))(pref, org)
+            ref = ref.astype(jnp.float32)
+        return x, y, ref, idx, weight
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def run(infer_fn, geom, density_dtype, chunks, px, py, pref, origins,
+            wins, norm, st):
+        ph, pw, padx, pady, sy_, sx_, hp2, wp2, hs, ws = geom
+
+        def body(i, out):
+            ids = chunks[i]
+            arr = jnp.stack([ids, jnp.ones_like(ids)], axis=1)
+            x, y, _, _, _ = prep((ph, pw), arr, px, py, pref, origins,
+                                 wins, norm)
+            d = infer_fn(st, x, y).astype(jnp.float32)
+            core = jax.lax.slice(d, (0, pady, padx, 0),
+                                 (d.shape[0], pady + sy_, padx + sx_, 1))
+            org = origins[ids]
+
+            def write(j, out):
+                return jax.lax.dynamic_update_slice(
+                    out, core[j], (org[j, 0], org[j, 1], 0))
+
+            return jax.lax.fori_loop(0, d.shape[0], write, out)
+
+        out = jax.lax.fori_loop(
+            0, chunks.shape[0], body,
+            jnp.zeros((hp2 - 2 * pady, wp2 - 2 * padx, 1), jnp.float32))
+        out = out[:hs, :ws, 0]
+        if density_dtype == "uint8":
+            out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        elif density_dtype == "bfloat16":
+            out = out.astype(jnp.bfloat16)
+        return out
+
+    _SCENE_PREP, _STITCH_RUN = prep, run
+    return _SCENE_PREP, _STITCH_RUN
+
+
 class DeviceSceneCache:
     """HBM-resident raw scene pair + jitted gather/normalize tile feed.
 
@@ -108,40 +194,15 @@ class DeviceSceneCache:
         else:  # identity (dataset built without an enhance)
             mx = my = np.zeros(nband, np.float32)
             sx = sy = np.ones(nband, np.float32)
+        self._norm = tuple(put(v) for v in (mx, sx, my, sy))
 
-        def prep(arr, px, py, pref, origins, wins):
-            idx = arr[:, 0]
-            weight = arr[:, 1].astype(jnp.float32)
-            org = origins[idx]  # (B, 2) (row, col)
-            win = wins[idx]     # (B, 4) (x0, y0, w, h)
+        prep, _ = _scene_jits()
 
-            def slc(plane, o):
-                return jax.lax.dynamic_slice(
-                    plane, (o[0], o[1], 0), (ph, pw, plane.shape[2]))
+        def bound_prep(arr, px, py, pref, origins, wins):
+            return prep((ph, pw), arr, px, py, pref, origins, wins,
+                        self._norm)
 
-            x_raw = jax.vmap(slc, in_axes=(None, 0))(px, org)
-            y_raw = jax.vmap(slc, in_axes=(None, 0))(py, org)
-            # same masked-normalize math as pipeline.DeviceNormalizer
-            row = jax.lax.broadcasted_iota(jnp.int32, (1, ph, 1, 1), 1)
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pw, 1), 2)
-            x0 = win[:, 0][:, None, None, None]
-            y0 = win[:, 1][:, None, None, None]
-            ww = win[:, 2][:, None, None, None]
-            wh = win[:, 3][:, None, None, None]
-            mask = (row >= y0) & (row < y0 + wh) & (col >= x0) & (col < x0 + ww)
-            xf = (x_raw.astype(jnp.float32) - mx) / sx
-            yf = (y_raw.astype(jnp.float32) - my) / sy
-            zero = jnp.float32(0)
-            x = jnp.where(mask, xf, zero)
-            y = jnp.where(mask, yf, zero)
-            if pref is None:
-                ref = jnp.zeros((arr.shape[0], ph, pw, 1), jnp.float32)
-            else:
-                ref = jax.vmap(slc, in_axes=(None, 0))(pref, org)
-                ref = ref.astype(jnp.float32)
-            return x, y, ref, idx, weight
-
-        self._prep = jax.jit(prep)
+        self._prep = bound_prep
 
     @staticmethod
     def supports(dataset) -> bool:
@@ -188,6 +249,14 @@ class DeviceSceneCache:
 
     def stitched_density(self, infer_fn, sstate, batch_size: int = 10,
                          density_dtype: str = "float32"):
+        """Whole-scene stitched density (blocking): start + finish."""
+        dev = self.stitched_density_start(infer_fn, sstate,
+                                          batch_size=batch_size,
+                                          density_dtype=density_dtype)
+        return self.stitched_density_finish(dev, density_dtype)
+
+    def stitched_density_start(self, infer_fn, sstate, batch_size: int = 10,
+                               density_dtype: str = "float32"):
         """Whole-scene stitched change density in ONE device program.
 
         The pipelined stitcher pays per-batch dispatch + download round
@@ -206,9 +275,11 @@ class DeviceSceneCache:
         of GDALwriteDefault (/root/reference/data_utils.py:178-213) under
         the Demo_USSS inference loop (:404-473).
 
-        Returns the stitched density as a float32 (ysize, xsize) ndarray.
-        ``density_dtype='uint8'`` quantizes the download exactly like
-        eval.inference.quantized_infer (dequant error <= 1/510)."""
+        Returns the (ysize, xsize) device array handle (dispatch only, host
+        copy enqueued); ``stitched_density_finish`` resolves it to the
+        float32 host raster. ``density_dtype='uint8'`` quantizes the
+        download exactly like eval.inference.quantized_infer (dequant
+        error <= 1/510)."""
         import jax
         import jax.numpy as jnp
 
@@ -225,45 +296,30 @@ class DeviceSceneCache:
         idxs = idxs.reshape(n_chunks, bs)  # wrap-padded: dup tiles re-write
         # identical interior values - stitching is idempotent
 
-        def run(chunks, px, py, pref, origins, wins, st):
-            def body(i, out):
-                ids = chunks[i]
-                arr = jnp.stack([ids, jnp.ones_like(ids)], axis=1)
-                x, y, _, _, _ = self._prep(arr, px, py, pref, origins, wins)
-                d = infer_fn(st, x, y).astype(jnp.float32)
-                core = jax.lax.slice(d, (0, pady, padx, 0),
-                                     (d.shape[0], pady + sy, padx + sx, 1))
-                org = origins[ids]
+        # module-level jit keyed on (infer_fn, geometry, dtype) + arg shapes:
+        # a fresh jax.jit closure every call would re-trace and re-ship the
+        # full executable to the device on every invocation (measured
+        # 20s/pass on the remote relay vs ~50ms warm), and per-INSTANCE
+        # memos would still re-trace per scene — same-geometry scenes (the
+        # multi-scene OSCD layout) share one compiled program here.
+        _, run = _scene_jits()
+        geom = (ph, pw, padx, pady, sy, sx, hp2, wp2, hs, ws)
+        dev = run(infer_fn, geom, density_dtype, jnp.asarray(idxs),
+                  self._px, self._py, self._pref, self._origins, self._wins,
+                  self._norm, sstate)
+        try:
+            # enqueue the host copy behind the program (non-blocking): a
+            # multi-scene caller can upload + dispatch the NEXT scene while
+            # this one computes and downloads (tools/infer.py run_oscd)
+            dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return dev
 
-                def write(j, out):
-                    return jax.lax.dynamic_update_slice(
-                        out, core[j], (org[j, 0], org[j, 1], 0))
-
-                return jax.lax.fori_loop(0, d.shape[0], write, out)
-
-            out = jax.lax.fori_loop(
-                0, chunks.shape[0], body,
-                jnp.zeros((hp2 - 2 * pady, wp2 - 2 * padx, 1), jnp.float32))
-            out = out[:hs, :ws, 0]
-            if density_dtype == "uint8":
-                out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
-            elif density_dtype == "bfloat16":
-                out = out.astype(jnp.bfloat16)
-            return out
-
-        # memoize the jitted program per (forward fn, batch, dtype): a fresh
-        # jax.jit closure every call would re-trace and re-ship the full
-        # executable to the device on every invocation (measured 20s/pass on
-        # the remote relay vs ~50ms warm)
-        if not hasattr(self, "_stitch_jits"):
-            self._stitch_jits = {}
-        key = (id(infer_fn), bs, density_dtype)
-        fn = self._stitch_jits.get(key)
-        if fn is None:
-            fn = jax.jit(run)
-            self._stitch_jits[key] = fn
-        dev = fn(jnp.asarray(idxs), self._px, self._py, self._pref,
-                 self._origins, self._wins, sstate)
+    @staticmethod
+    def stitched_density_finish(dev, density_dtype: str = "float32"):
+        """Resolve a ``stitched_density_start`` handle to the float32 host
+        raster (blocks until the device program + copy complete)."""
         host = np.asarray(dev)
         if density_dtype == "uint8":
             return host.astype(np.float32) / 255.0

@@ -496,12 +496,11 @@ def run_oscd(cfg: InferConfig) -> Dict:
         roc = RocCurve()
         pixels = 0
         t0 = time.perf_counter()
-        for s_idx, scene in enumerate(dataset.dslist):
-            base = scene.ds
-            cache = DeviceSceneCache(base, base.enhance)
-            density = cache.stitched_density(infer, sstate,
-                                             batch_size=cfg.batch_size,
-                                             density_dtype=cfg.density_dtype)
+
+        def resolve(s_idx, base, dev):
+            nonlocal pixels
+            density = DeviceSceneCache.stitched_density_finish(
+                dev, cfg.density_dtype)
             dataset.write_full_scene(s_idx, density, density_name)
             cmask_full = (density > cfg.prob_thresh).astype(np.int16)
             ref_full = np.zeros_like(cmask_full)
@@ -516,6 +515,23 @@ def run_oscd(cfg: InferConfig) -> Dict:
                               list(cfg.gt_map), list(cfg.pre_map))
             roc.add_batch(density, ref_full == cfg.gt_map[1])
             pixels += int(density.size)
+
+        # two-deep scene pipeline: upload + dispatch scene i+1, THEN resolve
+        # scene i — its download/raster-writes/metrics overlap scene i+1's
+        # device compute (per-scene round trips otherwise serialize on
+        # high-latency links; same answers, scenes are independent)
+        prev = None
+        for s_idx, scene in enumerate(dataset.dslist):
+            base = scene.ds
+            cache = DeviceSceneCache(base, base.enhance)
+            dev = cache.stitched_density_start(infer, sstate,
+                                               batch_size=cfg.batch_size,
+                                               density_dtype=cfg.density_dtype)
+            if prev is not None:
+                resolve(*prev)
+            prev = (s_idx, base, dev)
+        if prev is not None:
+            resolve(*prev)
         seconds = time.perf_counter() - t0
         dataset.close_outputs()
         miou, ciou = acc.Mean_Intersection_over_Union()
