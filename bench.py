@@ -224,7 +224,12 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
 
             if DeviceSceneCache.supports(dataset):
                 scene_cache = DeviceSceneCache(dataset, scaler)
-                loader = scene_cache.loader(10, dataset, shuffle=True, seed=0)
+                # driver default: true short tail batch (reference torch
+                # drop_last=False semantics, no wrap-duplicate compute);
+                # FCDGAN_TAIL=pad A/Bs the fixed-shape padded tail
+                loader = scene_cache.loader(
+                    10, dataset, shuffle=True, seed=0,
+                    tail=os.environ.get("FCDGAN_TAIL", "short"))
         if scene_cache is None:
             try:
                 from fcdgan_tpu.data.pipeline import (

@@ -65,6 +65,12 @@ class USSSConfig:
     # normalize — per-step upload drops to (item, weight) int32 pairs
     # (data/device_cache.py; auto gates on FCDGAN_SCENE_CACHE_MAX_MB)
     scene_cache: str = "auto"
+    # partial final batch: 'short' = run it at its true size (the reference
+    # torch drop_last=False semantics — BN batch stats see only real samples;
+    # no duplicate compute, one extra compiled shape), 'pad' = wrap-pad to
+    # the fixed shape with weight-0 duplicates (required under a device
+    # mesh), 'auto' = short single-process, pad under mesh/multi-host
+    tail: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;

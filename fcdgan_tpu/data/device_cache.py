@@ -35,9 +35,9 @@ class IndexBatchLoader(BatchLoader):
     and wrap-padded tail as the full loaders, no host tile assembly."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, tail: str = "pad"):
         super().__init__(dataset, batch_size, fields=("item",),
-                         shuffle=shuffle, seed=seed)
+                         shuffle=shuffle, seed=seed, tail=tail)
 
     def __iter__(self):
         for idx, weight in self._index_batches():
@@ -244,8 +244,11 @@ class DeviceSceneCache:
         return Batch(x=x, y=y, ref=ref, item=item, weight=weight)
 
     def loader(self, batch_size: int, dataset, shuffle: bool = False,
-               seed: int = 0) -> IndexBatchLoader:
-        return IndexBatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed)
+               seed: int = 0, tail: str = "pad") -> IndexBatchLoader:
+        if tail == "short" and self._mesh is not None:
+            tail = "pad"  # batch-axis sharding needs the fixed shape
+        return IndexBatchLoader(dataset, batch_size, shuffle=shuffle,
+                                seed=seed, tail=tail)
 
     def stitched_density(self, infer_fn, sstate, batch_size: int = 10,
                          density_dtype: str = "float32"):
@@ -630,5 +633,8 @@ class DeviceOSCDCache:
         return Batch(x=x, y=y, ref=ref, region=region, item=item, weight=weight)
 
     def loader(self, batch_size: int, dataset, shuffle: bool = False,
-               seed: int = 0) -> IndexBatchLoader:
-        return IndexBatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed)
+               seed: int = 0, tail: str = "pad") -> IndexBatchLoader:
+        if tail == "short" and self._mesh is not None:
+            tail = "pad"  # batch-axis sharding needs the fixed shape
+        return IndexBatchLoader(dataset, batch_size, shuffle=shuffle,
+                                seed=seed, tail=tail)

@@ -43,7 +43,12 @@ class BatchLoader:
 
     ``fields`` names the dataset's tuple positions (e.g. USSS:
     ('x','y','item','ref')). The final partial batch is wrap-padded from the
-    epoch's own permutation with weight 0."""
+    epoch's own permutation with weight 0 (``tail='pad'``, fixed shapes) or
+    yielded SHORT (``tail='short'``) — the reference's torch semantics
+    (``drop_last=False`` runs the true partial batch, so its train-mode BN
+    statistics see only real samples) and no duplicate compute; the jitted
+    steps compile a second (tail-size) executable once. Use 'pad' under a
+    device mesh (batch-axis sharding needs the fixed shape)."""
 
     def __init__(
         self,
@@ -54,12 +59,16 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = False,
         epoch_hook: Optional[Callable[[int], None]] = None,
+        tail: str = "pad",
     ):
+        if tail not in ("pad", "short"):
+            raise ValueError("tail must be 'pad' or 'short'")
         self.dataset = dataset
         self.batch_size = batch_size
         self.fields = tuple(fields)
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.tail = tail
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
         self._epoch_hook = epoch_hook
@@ -89,7 +98,7 @@ class BatchLoader:
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
             weight = np.ones(len(idx), np.float32)
-            if len(idx) < bs:  # wrap-pad the tail to a fixed shape
+            if len(idx) < bs and self.tail == "pad":  # wrap-pad to fixed shape
                 extra = order[: bs - len(idx)]
                 if len(extra) < bs - len(idx):  # dataset smaller than batch
                     extra = np.resize(order, bs - len(idx))

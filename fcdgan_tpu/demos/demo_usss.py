@@ -100,11 +100,17 @@ def run(cfg: USSSConfig) -> Dict:
             "--scene-cache on: needs a single process, a Normalize enhance, "
             "no transforms, and the scene within FCDGAN_SCENE_CACHE_MAX_MB")
 
+    # tail batches: reference torch semantics run the true short tail
+    # (config.py `tail`); mesh/multi-host keep the fixed padded shape
+    tail = ("short" if cfg.tail == "short"
+            or (cfg.tail == "auto" and mesh is None and not multihost)
+            else "pad")
+
     loader = None
     device_norm = False
     if scene_cache is not None:
         loader = scene_cache.loader(cfg.batch_size, dataset,
-                                    shuffle=True, seed=cfg.seed)
+                                    shuffle=True, seed=cfg.seed, tail=tail)
     else:
         try:
             from ..data.pipeline import NativeSceneBatchLoader
@@ -120,7 +126,7 @@ def run(cfg: USSSConfig) -> Dict:
                 raise
             loader = BatchLoader(dataset, cfg.batch_size,
                                  fields=("x", "y", "item", "ref"),
-                                 shuffle=True, seed=cfg.seed)
+                                 shuffle=True, seed=cfg.seed, tail=tail)
         if cfg.device_normalize == "on" and not device_norm:
             raise RuntimeError(
                 "--device-normalize on: needs the native loader and a shared "

@@ -306,3 +306,35 @@ def test_whu_cache_changed_matches(tmp_path):
             tol = np.spacing(np.abs(want).astype(np.float32))
             assert np.all(np.abs(got - want) <= tol), k
         assert np.array_equal(np.asarray(db["weight"]), hb["weight"])
+
+
+def test_short_tail_loader_and_cache_feed(tmp_path):
+    """tail='short' yields the true partial batch (reference torch
+    drop_last=False semantics): same real samples/order as the padded
+    loader, no weight-0 duplicates; the scene cache serves the short
+    shape with identical values."""
+    ds, scaler = _build(tmp_path, np.uint16)
+    from fcdgan_tpu.data.device_cache import DeviceSceneCache, IndexBatchLoader
+
+    bs = max(2, len(ds) // 2 + 1)  # force a partial tail
+    pad = list(iter(IndexBatchLoader(ds, bs, shuffle=True, seed=3)))
+    short = list(iter(IndexBatchLoader(ds, bs, shuffle=True, seed=3,
+                                       tail="short")))
+    assert len(pad) == len(short)
+    for pb, sb in zip(pad, short):
+        nreal = int(pb["weight"].sum())
+        assert len(sb["item"]) == nreal
+        assert np.array_equal(sb["item"], pb["item"][:nreal])
+        assert np.all(sb["weight"] == 1.0)
+
+    cache = DeviceSceneCache(ds, scaler)
+    host = BatchLoader(ds, bs, fields=("x", "y", "item", "ref"),
+                       shuffle=True, seed=3, tail="short")
+    for hb, ib in zip(iter(host), iter(IndexBatchLoader(ds, bs, shuffle=True,
+                                                        seed=3, tail="short"))):
+        db = cache.complete(ib)
+        for k in ("x", "y"):
+            got, want = np.asarray(db[k]), np.asarray(hb[k])
+            assert got.shape == want.shape
+            tol = np.spacing(np.abs(want).astype(np.float32))
+            assert np.all(np.abs(got - want) <= tol), k
