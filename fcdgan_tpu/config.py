@@ -152,6 +152,10 @@ class WSSSConfig:
     # rows (data/device_cache.py; auto gates on FCDGAN_SLICE_CACHE_MAX_MB,
     # disabled under random_assign / random_eraser / multi-host)
     slice_cache: str = "auto"
+    # partial final batch: 'short' (reference torch drop_last=False; no
+    # wrap-duplicate compute or BN-stat duplicates) | 'pad' | 'auto'
+    # (= short single-process, pad under mesh/multi-host)
+    tail: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;
@@ -239,6 +243,10 @@ class RSSSConfig:
     # upload drops to (item, weight) int32 pairs (data/device_cache.py;
     # auto gates on FCDGAN_TILE_CACHE_MAX_MB, disabled under random_eraser)
     tile_cache: str = "auto"
+    # partial final batch: 'short' (reference torch drop_last=False; no
+    # wrap-duplicate compute or BN-stat duplicates) | 'pad' | 'auto'
+    # (= short single-process, pad under mesh/multi-host)
+    tail: str = "auto"
     remat: bool = False             # recompute forwards in backward (bigger batches)
     ssim_metric: bool = True        # False skips the MS-SSIM metric forward
                                     # entirely (only legal at ssim_weight 0;

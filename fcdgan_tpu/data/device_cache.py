@@ -336,11 +336,12 @@ class IndexPairBatchLoader(BatchLoader):
     default) — same contract as NativeWHUPairBatchLoader."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, epoch_hook=None):
+                 seed: int = 0, epoch_hook=None, tail: str = "pad"):
         if dataset.random_assign:
             raise ValueError("index pair loader requires random_assign=False")
         super().__init__(dataset, batch_size, fields=("item",),
-                         shuffle=shuffle, seed=seed, epoch_hook=epoch_hook)
+                         shuffle=shuffle, seed=seed, epoch_hook=epoch_hook,
+                         tail=tail)
 
     def __iter__(self):
         pair = self.dataset
@@ -491,13 +492,20 @@ class DeviceWHUCache:
         return Batch(x=x, y=y, item=item, weight=weight)
 
     def pair_loader(self, batch_size: int, pair_ds, shuffle: bool = False,
-                    seed: int = 0, epoch_hook=None) -> IndexPairBatchLoader:
+                    seed: int = 0, epoch_hook=None,
+                    tail: str = "pad") -> IndexPairBatchLoader:
+        if tail == "short" and self._mesh is not None:
+            tail = "pad"  # batch-axis sharding needs the fixed shape
         return IndexPairBatchLoader(pair_ds, batch_size, shuffle=shuffle,
-                                    seed=seed, epoch_hook=epoch_hook)
+                                    seed=seed, epoch_hook=epoch_hook,
+                                    tail=tail)
 
     def unc_loader(self, batch_size: int, unc_ds, shuffle: bool = False,
-                   seed: int = 0) -> IndexBatchLoader:
-        return IndexBatchLoader(unc_ds, batch_size, shuffle=shuffle, seed=seed)
+                   seed: int = 0, tail: str = "pad") -> IndexBatchLoader:
+        if tail == "short" and self._mesh is not None:
+            tail = "pad"
+        return IndexBatchLoader(unc_ds, batch_size, shuffle=shuffle,
+                                seed=seed, tail=tail)
 
 
 class DeviceOSCDCache:

@@ -109,17 +109,25 @@ def run(cfg: RSSSConfig) -> Dict:
             "--tile-cache on: needs a single process, no random_eraser, and "
             "tiles within FCDGAN_TILE_CACHE_MAX_MB")
 
+    # tail batches: reference torch semantics run the true short tail
+    # (config.py `tail`); mesh/multi-host keep the fixed padded shape
+    tail = ("short" if cfg.tail == "short"
+            or (cfg.tail == "auto" and mesh is None and not multihost)
+            else "pad")
+
     def make_loader(ds, bs, shuffle, seed):
         cache = train_cache if ds is dataset else test_cache
         if cache is not None:
-            return cache.loader(bs, ds, shuffle=shuffle, seed=seed)
-        # native C++ per-scene tile assembly when available
+            return cache.loader(bs, ds, shuffle=shuffle, seed=seed, tail=tail)
+        # native C++ per-scene tile assembly when available (fixed-shape
+        # buffers: padded tails)
         try:
             from ..data.pipeline import NativeOSCDBatchLoader
 
             return NativeOSCDBatchLoader(ds, bs, shuffle=shuffle, seed=seed)
         except Exception:
-            return BatchLoader(ds, bs, fields=fields, shuffle=shuffle, seed=seed)
+            return BatchLoader(ds, bs, fields=fields, shuffle=shuffle,
+                               seed=seed, tail=tail)
 
     init_loader = make_loader(dataset, cfg.init_batch_size, True, cfg.seed)
     train_loader = make_loader(dataset, cfg.batch_size, True, cfg.seed + 1)

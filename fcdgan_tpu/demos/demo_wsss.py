@@ -96,10 +96,16 @@ def run(cfg: WSSSConfig) -> Dict:
             "--slice-cache on: needs a single process, no random_assign, no "
             "random_eraser, and slices within FCDGAN_SLICE_CACHE_MAX_MB")
 
+    # tail batches: reference torch semantics run the true short tail
+    # (config.py `tail`); mesh/multi-host keep the fixed padded shape
+    tail = ("short" if cfg.tail == "short"
+            or (cfg.tail == "auto" and mesh is None and not multihost)
+            else "pad")
+
     if whu_cache is not None:
         pair_loader = whu_cache.pair_loader(
             cfg.batch_size, pair_ds, shuffle=True, seed=cfg.seed,
-            epoch_hook=lambda e: pair_ds.order_reset())
+            epoch_hook=lambda e: pair_ds.order_reset(), tail=tail)
     else:
         try:
             from ..data.pipeline import NativeWHUPairBatchLoader
@@ -110,7 +116,8 @@ def run(cfg: WSSSConfig) -> Dict:
         except Exception:
             pair_loader = PairBatchLoader(pair_ds, cfg.batch_size, c_fields=fields,
                                           nc_fields=fields, shuffle=True, seed=cfg.seed,
-                                          epoch_hook=lambda e: pair_ds.order_reset())
+                                          epoch_hook=lambda e: pair_ds.order_reset(),
+                                          tail=tail)
     unc_ds = WHUDataset(cfg.img_dir_x, cfg.img_dir_y, cfg.ref_dir, cfg.label_dir,
                         scale=scaler, label_selected="0", transforms=eraser)
     total_unc = len(unc_ds)
@@ -120,7 +127,8 @@ def run(cfg: WSSSConfig) -> Dict:
                   and len(unc_ds) == pair_ds.nc_len)
     if unc_cached:
         unc_loader = whu_cache.unc_loader(cfg.unc_batch_size, unc_ds,
-                                          shuffle=True, seed=cfg.seed)
+                                          shuffle=True, seed=cfg.seed,
+                                          tail=tail)
     else:
         try:
             from ..data.pipeline import NativeWHUBatchLoader
@@ -129,7 +137,7 @@ def run(cfg: WSSSConfig) -> Dict:
                                               shuffle=True, seed=cfg.seed)
         except Exception:
             unc_loader = BatchLoader(unc_ds, cfg.unc_batch_size, fields=fields,
-                                     shuffle=True, seed=cfg.seed)
+                                     shuffle=True, seed=cfg.seed, tail=tail)
 
     def put(batch):
         if mesh is not None:
@@ -272,9 +280,11 @@ def run(cfg: WSSSConfig) -> Dict:
     if c_cached:
         from ..data.device_cache import IndexBatchLoader
 
-        test_loader = IndexBatchLoader(c_ds, cfg.batch_size, shuffle=False)
+        test_loader = IndexBatchLoader(c_ds, cfg.batch_size, shuffle=False,
+                                       tail=tail)
     else:
-        test_loader = BatchLoader(c_ds, cfg.batch_size, fields=fields, shuffle=False)
+        test_loader = BatchLoader(c_ds, cfg.batch_size, fields=fields,
+                                  shuffle=False, tail=tail)
     acc = Evaluator(num_class=2)
     from PIL import Image
 

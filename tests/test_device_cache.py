@@ -107,7 +107,8 @@ def test_driver_cache_matches_streaming(tmp_path):
                          init_num_epochs_g=1, init_num_epochs_s=1, num_epochs=1,
                          batch_size=4, patch_size=(48, 48), overlap_padding=(4, 4),
                          msssim_weights=(0.5, 0.5), log_tensorboard=False,
-                         progress=False, scene_cache=mode, ext="_t")
+                         progress=False, scene_cache=mode, ext="_t",
+                         tail="pad")  # pin: feeds must run identical batches
         res = demo_usss.run(cfg)
         outs[mode] = TiffReader(res["density_path"]).read_block()
         cms[mode] = res["evaluator"].confusion_matrix.copy()
@@ -249,7 +250,8 @@ def test_rsss_driver_tile_cache_matches_streaming(tmp_path):
                          init_num_epochs_g=1, num_epochs=1, init_batch_size=4,
                          batch_size=4, patch_size=(40, 40), overlap_padding=(4, 4),
                          msssim_weights=(0.5, 0.5), log_tensorboard=False,
-                         progress=False, tile_cache=mode, ext="_" + mode)
+                         progress=False, tile_cache=mode, ext="_" + mode,
+                         tail="pad")  # pin: feeds must run identical batches
         res = demo_rsss.run(cfg)
         cms[mode] = (res["evaluator"].confusion_matrix.copy(),
                      res["test_evaluator"].confusion_matrix.copy())
@@ -338,3 +340,41 @@ def test_short_tail_loader_and_cache_feed(tmp_path):
             assert got.shape == want.shape
             tol = np.spacing(np.abs(want).astype(np.float32))
             assert np.all(np.abs(got - want) <= tol), k
+
+
+def test_whu_pair_loader_short_tail(tmp_path):
+    """WSSS pair feed with tail='short': the tail batch carries only the
+    real samples (reference torch drop_last=False, Demo_WSSS.py:208-233),
+    same order as the padded loader's real prefix; the WHU cache completes
+    the short shape bit-identically to the host pair loader."""
+    from fcdgan_tpu.data.device_cache import DeviceWHUCache
+    from fcdgan_tpu.data.pipeline import PairBatchLoader
+
+    # pair epoch length = max(c_len, nc_len) = 5 -> bs 2 leaves a 1-sample tail
+    pair, scaler = _whu(tmp_path, n_changed=5, n_unchanged=4)
+    cache = DeviceWHUCache(pair, scaler)
+    fields = ("x", "y", "ref", "item", "label")
+    host = PairBatchLoader(pair, 2, c_fields=fields, nc_fields=fields,
+                           shuffle=True, seed=5, tail="short",
+                           epoch_hook=lambda e: pair.order_reset())
+    pair2, _ = _whu(tmp_path, n_changed=5, n_unchanged=4)
+    idx = cache.pair_loader(2, pair2, shuffle=True, seed=5, tail="short",
+                            epoch_hook=lambda e: pair2.order_reset())
+    pair3, _ = _whu(tmp_path, n_changed=5, n_unchanged=4)
+    padded = cache.pair_loader(2, pair3, shuffle=True, seed=5, tail="pad",
+                               epoch_hook=lambda e: pair3.order_reset())
+    n_short = 0
+    for hb, ib, pb in zip(iter(host), iter(idx), iter(padded)):
+        nreal = int(pb["weight"].sum())
+        assert len(ib["c_item"]) == nreal
+        n_short += int(nreal < len(pb["c_item"]))
+        assert np.array_equal(ib["c_item"], pb["c_item"][:nreal])
+        assert np.array_equal(hb["c_item"], ib["c_item"])
+        db = cache.complete_pair(ib)
+        for k in ("c_x", "c_y", "nc_x", "nc_y"):
+            got, want = np.asarray(db[k]), np.asarray(hb[k])
+            assert got.shape == want.shape
+            tol = np.spacing(np.abs(want).astype(np.float32))
+            assert np.all(np.abs(got - want) <= tol), k
+        assert np.all(np.asarray(db["weight"]) == 1.0)
+    assert n_short == 1  # the length-5/bs-2 epoch has exactly one short tail
