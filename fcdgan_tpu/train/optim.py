@@ -23,17 +23,31 @@ import optax
 from jax.flatten_util import ravel_pytree
 
 
-def _fused_enabled() -> bool:
-    """Flat-buffer optimizer state (opt-in FCDGAN_FUSED_OPT=1).
+def _opt_mode() -> str:
+    """Optimizer layout: FCDGAN_OPT = 'leaf' (default) | 'flat' | 'grouped'.
 
-    The per-leaf optax update emits one small fusion per parameter leaf
-    (~119 across the two USSS nets); keeping the moments as ONE flat f32
-    vector turns the whole update into a handful of big elementwise fusions
-    with element-for-element identical math. Measured NEUTRAL on the v5e
-    joint step (3.59 vs 3.61 Mpx/s, within host noise): the ravel/unravel
-    copies cancel the per-leaf dispatch savings at this parameter count,
-    so the simpler per-leaf form stays the default."""
-    return os.environ.get("FCDGAN_FUSED_OPT") == "1"
+    'flat' (alias: FCDGAN_FUSED_OPT=1) keeps the moments as ONE flat f32
+    vector — a handful of big elementwise fusions with element-for-element
+    identical math. Measured NEUTRAL on the v5e joint step (3.59 vs 3.61
+    Mpx/s, within host noise): the ravel/unravel copies over the ~130 MB of
+    conv kernels cancel the per-leaf dispatch savings.
+
+    'grouped' flattens ONLY the small leaves (BN scales/biases, conv biases,
+    PReLU slopes — everything <= _GROUP_SMALL elements, ~1 MB total across
+    the two USSS nets) into one vector and keeps the big conv kernels
+    per-leaf: the ~100 tiny update fusions collapse into one without
+    copying the big buffers. Also measured NEUTRAL on the v5e joint driver
+    (2.011 vs 2.009 epochs/s; step 3.660 vs 3.664 Mpx/s): the optimizer
+    budget is the memory-bound moment update over the big conv kernels,
+    which neither layout changes — the tiny-leaf dispatches it removes
+    are sub-ms in total. 'leaf' stays the default; both alternatives are
+    exactness-tested for trees where the tradeoff flips."""
+    mode = os.environ.get("FCDGAN_OPT")
+    if mode:
+        return mode
+    if os.environ.get("FCDGAN_FUSED_OPT") == "1":
+        return "flat"
+    return "leaf"
 
 
 class FlatAdamState(NamedTuple):
@@ -65,10 +79,124 @@ def _flat_adam(b1: float, b2: float, eps: float) -> optax.GradientTransformation
     return optax.GradientTransformation(init, update)
 
 
+_GROUP_SMALL = 1 << 15  # elements; leaves at/below this size get grouped
+
+
+def _split_leaves(tree, small_elems):
+    leaves, treedef = jax.tree.flatten(tree)
+    mask = [int(l.size) <= small_elems for l in leaves]
+    return leaves, treedef, mask
+
+
+class GroupedAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu_small: jnp.ndarray
+    nu_small: jnp.ndarray
+    mu_big: tuple  # aligned with flattened leaf order; (0,) at small slots
+    nu_big: tuple
+
+
+def _grouped_adam(b1: float, b2: float, eps: float,
+                  small_elems: int = _GROUP_SMALL) -> optax.GradientTransformation:
+    def init(params):
+        leaves, _, mask = _split_leaves(params, small_elems)
+        n = sum(int(l.size) for l, m in zip(leaves, mask) if m)
+        zsmall = jnp.zeros((n,), jnp.float32)
+        big = tuple(jnp.zeros((0,), jnp.float32) if m else jnp.zeros_like(l)
+                    for l, m in zip(leaves, mask))
+        return GroupedAdamState(count=jnp.zeros([], jnp.int32),
+                                mu_small=zsmall, nu_small=zsmall,
+                                mu_big=big, nu_big=big)
+
+    def update(updates, state, params=None):
+        leaves, treedef, mask = _split_leaves(updates, small_elems)
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        c1, c2 = 1 - b1**cf, 1 - b2**cf
+
+        small = [l.reshape(-1).astype(jnp.float32)
+                 for l, m in zip(leaves, mask) if m]
+        if small:
+            g = jnp.concatenate(small) if len(small) > 1 else small[0]
+            mu_s = b1 * state.mu_small + (1 - b1) * g
+            nu_s = b2 * state.nu_small + (1 - b2) * jnp.square(g)
+            u_s = -((mu_s / c1) / (jnp.sqrt(nu_s / c2) + eps))
+        else:
+            mu_s, nu_s, u_s = state.mu_small, state.nu_small, state.mu_small
+
+        out, mu_new, nu_new = [], [], []
+        off = 0
+        for l, m, mb, nb in zip(leaves, mask, state.mu_big, state.nu_big):
+            if m:
+                sz = int(l.size)
+                out.append(u_s[off:off + sz].reshape(l.shape).astype(l.dtype))
+                off += sz
+                mu_new.append(mb)
+                nu_new.append(nb)
+            else:
+                mu = b1 * mb + (1 - b1) * l
+                nu = b2 * nb + (1 - b2) * jnp.square(l)
+                out.append((-((mu / c1) / (jnp.sqrt(nu / c2) + eps))).astype(l.dtype))
+                mu_new.append(mu)
+                nu_new.append(nu)
+        return treedef.unflatten(out), GroupedAdamState(
+            count=count, mu_small=mu_s, nu_small=nu_s,
+            mu_big=tuple(mu_new), nu_big=tuple(nu_new))
+
+    return optax.GradientTransformation(init, update)
+
+
+class GroupedRmsPropState(NamedTuple):
+    sq_small: jnp.ndarray
+    sq_big: tuple
+
+
+def _grouped_rmsprop(alpha: float, eps: float,
+                     small_elems: int = _GROUP_SMALL) -> optax.GradientTransformation:
+    def init(params):
+        leaves, _, mask = _split_leaves(params, small_elems)
+        n = sum(int(l.size) for l, m in zip(leaves, mask) if m)
+        big = tuple(jnp.zeros((0,), jnp.float32) if m else jnp.zeros_like(l)
+                    for l, m in zip(leaves, mask))
+        return GroupedRmsPropState(sq_small=jnp.zeros((n,), jnp.float32),
+                                   sq_big=big)
+
+    def update(updates, state, params=None):
+        leaves, treedef, mask = _split_leaves(updates, small_elems)
+        small = [l.reshape(-1).astype(jnp.float32)
+                 for l, m in zip(leaves, mask) if m]
+        if small:
+            g = jnp.concatenate(small) if len(small) > 1 else small[0]
+            sq_s = alpha * state.sq_small + (1 - alpha) * jnp.square(g)
+            u_s = -(g / (jnp.sqrt(sq_s) + eps))
+        else:
+            sq_s, u_s = state.sq_small, state.sq_small
+
+        out, sq_new = [], []
+        off = 0
+        for l, m, sb in zip(leaves, mask, state.sq_big):
+            if m:
+                sz = int(l.size)
+                out.append(u_s[off:off + sz].reshape(l.shape).astype(l.dtype))
+                off += sz
+                sq_new.append(sb)
+            else:
+                sq = alpha * sb + (1 - alpha) * jnp.square(l)
+                out.append((-(l / (jnp.sqrt(sq) + eps))).astype(l.dtype))
+                sq_new.append(sq)
+        return treedef.unflatten(out), GroupedRmsPropState(
+            sq_small=sq_s, sq_big=tuple(sq_new))
+
+    return optax.GradientTransformation(init, update)
+
+
 def adam(b1: float = 0.9, b2: float = 0.99, eps: float = 1e-8) -> optax.GradientTransformation:
     """Unit-LR torch-Adam: chain(scale_by_adam, scale(-1))."""
-    if _fused_enabled():
+    mode = _opt_mode()
+    if mode == "flat":
         return _flat_adam(b1, b2, eps)
+    if mode == "grouped":
+        return _grouped_adam(b1, b2, eps)
     return optax.chain(
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps, eps_root=0.0),
         optax.scale(-1.0),
@@ -113,8 +241,11 @@ def _flat_rmsprop(alpha: float, eps: float) -> optax.GradientTransformation:
 
 def rmsprop(alpha: float = 0.99, eps: float = 1e-8) -> optax.GradientTransformation:
     """Unit-LR torch-RMSprop (eps outside sqrt, no bias correction)."""
-    if _fused_enabled():
+    mode = _opt_mode()
+    if mode == "flat":
         return _flat_rmsprop(alpha, eps)
+    if mode == "grouped":
+        return _grouped_rmsprop(alpha, eps)
     return optax.chain(_scale_by_torch_rms(alpha, eps), optax.scale(-1.0))
 
 
