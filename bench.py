@@ -247,10 +247,18 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
         budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0,
                   "epoch_sync_s": 0.0}
 
-        prev_av = None  # last epoch's totals, read one epoch late (see below)
+        # epoch summaries resolve through the drivers' DeferredEpochEnd:
+        # each epoch's packed totals ride a shared device history buffer and
+        # the host downloads ONE transfer per FCDGAN_DEFER_DEPTH epochs (the
+        # relay pays a fixed ~30 ms round trip per transfer regardless of
+        # size — per-epoch reads were the old 75 ms/epoch `epoch_sync_ms`)
+        from fcdgan_tpu.train.loops import DeferredEpochEnd
+
+        deferred = DeferredEpochEnd(enabled=True)
+        net_losses = []
 
         def epoch(i, timed=False):
-            nonlocal gstate, sstate, prev_av
+            nonlocal gstate, sstate
             av = EpochAverages(len(dataset))
             lr = JOINT_USSS(i)
             it = prefetch(iter(loader), 2)
@@ -276,26 +284,19 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
                     budget["load_s"] += t1 - t0
                     budget["put_s"] += t2 - t1
                     budget["dispatch_s"] += t3 - t2
-            # deferred epoch sync (mirrors the drivers' DeferredEpochEnd):
-            # kick off THIS epoch's packed download without blocking, then
-            # resolve the PREVIOUS epoch's totals — that read overlaps the
-            # device still executing this epoch's queued steps, so the only
-            # unhidden sync is the final epoch's (counted in the run below).
             ts = time.perf_counter()
-            av.start_read()
-            out = prev_av["NetLoss"] if prev_av is not None else None
-            prev_av = av
+            deferred.schedule(av, lambda av=av: net_losses.append(av["NetLoss"]))
             if timed:
                 budget["epoch_sync_s"] += time.perf_counter() - ts
-            return out
 
         gstate, sstate = map(jax.device_put, (gstate, sstate))
         epoch(0)  # warm: compile + caches
+        deferred.flush()
         t0 = time.perf_counter()
         for i in range(epochs):
             epoch(i + 1, timed=True)
         ts = time.perf_counter()
-        prev_av["NetLoss"]  # the last epoch's (only unhidden) sync
+        deferred.flush()  # the run's (only unhidden) metric sync
         budget["epoch_sync_s"] += time.perf_counter() - ts
         dt = time.perf_counter() - t0
 

@@ -219,7 +219,14 @@ def run(cfg: RSSSConfig) -> Dict:
                                  "ssim_loss")}, i)
             ckpt.maybe_save("g", i, netG=g)
 
-        deferred.schedule(av, _g_end)
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _g_end()
+        else:
+            deferred.schedule(av, _g_end)
 
     # -- phase 2: adversarial + per-epoch test eval (Demo_RSSS.py:244-447) ---
     deferred.flush()
@@ -298,8 +305,15 @@ def run(cfg: RSSSConfig) -> Dict:
             results_last_test = test_acc
             ckpt.maybe_save("adv", i, netG=g, netS=s, netD=d)
 
-        av.start_read()  # pack+start the train download before deferring
-        deferred.schedule(test_av, _adv_end)
+        deferred.attach(av)  # train totals ride the shared history row
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _adv_end()
+        else:
+            deferred.schedule(test_av, _adv_end)
 
     # -- final inference: density + color rasters per scene (:449-504) -------
     deferred.flush()

@@ -220,7 +220,14 @@ def run(cfg: USSSConfig) -> Dict:
             log_losses(av, i)
             ckpt.maybe_save("g", i, netG=g)
 
-        deferred.schedule(av, _g_end)
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _g_end()
+        else:
+            deferred.schedule(av, _g_end)
 
     # -- phase 2: segmentor init (Demo_USSS.py:192-286) ---------------------
     deferred.flush()
@@ -249,7 +256,14 @@ def run(cfg: USSSConfig) -> Dict:
             _log_accuracy(writer, ev, step)
             ckpt.maybe_save("s", i, netG=g, netS=s)
 
-        deferred.schedule(av, _s_end)
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _s_end()
+        else:
+            deferred.schedule(av, _s_end)
 
     # -- phase 3: joint alternating (Demo_USSS.py:289-400) ------------------
     deferred.flush()
@@ -279,7 +293,14 @@ def run(cfg: USSSConfig) -> Dict:
             _log_accuracy(writer, ev, step)
             ckpt.maybe_save("joint", i, netG=g, netS=s)
 
-        deferred.schedule(av, _joint_end)
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _joint_end()
+        else:
+            deferred.schedule(av, _joint_end)
 
     # -- inference + stitched write-back (Demo_USSS.py:404-473) -------------
     deferred.flush()

@@ -226,7 +226,14 @@ def run(cfg: WSSSConfig) -> Dict:
                                  "ssim_loss")}, i)
             ckpt.maybe_save("g", i, netG=g)
 
-        deferred.schedule(av, _g_end)
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _g_end()
+        else:
+            deferred.schedule(av, _g_end)
 
     # -- phase 2: adversarial S vs D (Demo_WSSS.py:208-385) ------------------
     deferred.flush()
@@ -265,7 +272,14 @@ def run(cfg: WSSSConfig) -> Dict:
             _log_accuracy(writer, ev, step)
             ckpt.maybe_save("adv", i, netG=g, netS=s, netD=d)
 
-        deferred.schedule(av, _adv_end)
+        # checkpoint epochs run inline (after a flush, so print order is
+        # kept): the save closure captures live states that the next epoch's
+        # donated step would delete on TPU if the closure ran up to FCDGAN_DEFER_DEPTH epochs late
+        if ckpt.due(i):
+            deferred.flush()
+            _adv_end()
+        else:
+            deferred.schedule(av, _adv_end)
 
     # -- final inference on CHANGED set, train-mode BN (Demo_WSSS.py:387-445)
     deferred.flush()

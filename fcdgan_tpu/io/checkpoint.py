@@ -109,6 +109,13 @@ class TrainCheckpointer:
     def exists(self) -> bool:
         return os.path.exists(self._meta_path())
 
+    def due(self, epoch: int) -> bool:
+        """True when ``maybe_save`` after ``epoch`` will write. Drivers use
+        this to run checkpoint epochs inline instead of deferring them: the
+        save closure would otherwise capture donated state buffers that the
+        next epoch's step deletes on TPU."""
+        return self.enabled and (epoch + 1) % self.every == 0
+
     def maybe_save(self, phase: str, epoch: int, **states) -> bool:
         """Save after ``epoch`` when it hits the cadence. Returns True if saved."""
         if not self.enabled or (epoch + 1) % self.every != 0:

@@ -30,6 +30,7 @@ from ..utils.timing import progress_line
 _ACC = None  # lazily jitted device accumulators (shared across instances)
 _INIT = None
 _PACK = None
+_HWRITE = None  # lazily jitted history-row write (DeferredEpochEnd)
 
 
 def _acc_fns():
@@ -77,6 +78,21 @@ def _acc_fns():
     return _INIT, _ACC, _PACK
 
 
+def _hist_write():
+    global _HWRITE
+    if _HWRITE is None:
+        import jax
+        from jax import lax
+
+        # append one packed row into the shared 1-D history buffer at a
+        # dynamic offset; the buffer is donated so the write is in-place
+        _HWRITE = jax.jit(
+            lambda buf, row, off: lax.dynamic_update_slice(buf, row, (off,)),
+            donate_argnums=(0,),
+        )
+    return _HWRITE
+
+
 class EpochAverages:
     """Weighted running averages of per-batch metrics, accumulated on device.
 
@@ -105,8 +121,17 @@ class EpochAverages:
         self._host: Optional[Dict[str, float]] = None
         self._window: deque = deque()
         self._inflight = max(int(inflight), 0)
+        #: set by DeferredEpochEnd.attach: resolving callback that downloads
+        #: the shared history buffer (clears itself on distribution)
+        self._resolve = None
 
     def update(self, metrics: Dict, batch_weight_sum: float) -> None:
+        if self._resolve is not None:
+            raise RuntimeError(
+                "EpochAverages was handed to DeferredEpochEnd.attach/schedule;"
+                " its totals live in the shared history buffer — no further"
+                " update() is possible"
+            )
         init, acc, _ = _acc_fns()
         scale = batch_weight_sum / self.total
         if self._dev is None:
@@ -186,6 +211,11 @@ class EpochAverages:
 
     def _finalize(self) -> Dict:
         if self._host is None:
+            if self._resolve is not None:
+                # totals were moved into a DeferredEpochEnd history buffer;
+                # resolving downloads the whole buffer (one transfer) and
+                # folds this instance's row (clearing ``_resolve``)
+                self._resolve()
             self._fold()
             self._host = dict(self._folded or {})
         return self._host
@@ -209,36 +239,125 @@ class EpochAverages:
 
 
 class DeferredEpochEnd:
-    """Resolve each epoch's summary work (metric prints, tensorboard rows,
-    checkpoint saves) one epoch LATE, so the epoch metric download overlaps
-    the device executing the next epoch's already-dispatched steps instead
-    of draining the queue (the reference prints inline each epoch,
-    Demo_USSS.py:366-372 — content and ORDER are identical here, only the
-    wall-clock moment of the print shifts by <=1 epoch).
+    """Batch epoch-summary work (metric prints, tensorboard rows) up to
+    ``depth`` epochs so their metric downloads collapse into ONE device->host
+    transfer, instead of paying a fixed relay round trip (~30 ms measured on
+    the axon link, size-independent for these few hundred bytes) every epoch.
+
+    Each ``schedule``/``attach`` moves the epoch's packed totals from its
+    ``EpochAverages`` into a shared 1-D device history buffer (one tiny
+    donated ``dynamic_update_slice`` — async, never drains the step queue).
+    ``flush`` downloads the whole buffer once, distributes the rows back to
+    their ``EpochAverages``, and runs the queued summary closures in order.
+    The reference prints inline each epoch (Demo_USSS.py:366-372) — content
+    and ORDER are identical here, only the wall-clock moment of the print
+    shifts by <= ``depth`` epochs.
+
+    NB the one-epoch predecessor of this class prefetched via
+    ``av.start_read()``; on the axon relay ``copy_to_host_async`` on a
+    still-queued array can degrade catastrophically (measured: a later
+    ``np.asarray`` blocking for minutes), and even when healthy it pays one
+    round trip per epoch. The history buffer pays one round trip per
+    ``depth`` epochs and never issues a host copy before the epoch summary
+    actually needs values.
 
     Only used when live '\\r' progress lines are off (``enabled``): with
     them on, next-epoch progress output would interleave ahead of this
-    epoch's summary. The driver schedules a closure capturing ``av`` (and
-    the epoch's model states for the checkpoint save); ``flush`` runs the
-    pending one and MUST be called before any other stdout or phase
+    epoch's summary. Closures MUST NOT capture donated device state (the
+    steps donate their input states, so those buffers are deleted one step
+    later on TPU) — drivers flush-and-run inline on checkpoint epochs
+    instead. ``flush`` MUST be called before any other stdout or phase
     transition."""
 
-    def __init__(self, enabled: bool = True):
+    def __init__(self, enabled: bool = True, depth: Optional[int] = None):
+        import os
+
+        if depth is None:
+            depth = int(os.environ.get("FCDGAN_DEFER_DEPTH", "16"))
         self.enabled = enabled
-        self._pending = None
+        self.depth = max(int(depth), 1)
+        self._cap = 4096
+        # FIFO of history windows; the last one is open for appends. A
+        # window closed at epoch E resolves when the NEXT window closes
+        # (~depth epochs later) — by then the device finished E's steps
+        # long ago, so its single download costs one round trip, never a
+        # pipeline drain.
+        self._windows = [self._new_window()]
+
+    @staticmethod
+    def _new_window():
+        return {"buf": None, "cap": 0, "off": 0, "rows": [], "fns": []}
+
+    def attach(self, av: "EpochAverages") -> None:
+        """Move ``av``'s device totals into the open history window (no host
+        sync); reading ``av`` later resolves through one shared download."""
+        if not self.enabled:
+            return
+        if av._pending is not None:
+            # a legacy start_read is already in flight for this av; leave
+            # that transfer to its own fold
+            return
+        w = self._windows[-1]
+        if av._dev is None:
+            av._resolve = self._resolve_all_rows
+            w["rows"].append((av, 0, 0, None))
+            return
+        packed, shapes = av._pack()
+        n = int(packed.size)
+        self._cap = max(self._cap, n)
+        if w["buf"] is not None and w["off"] + n > w["cap"]:
+            self._close_window()
+            w = self._windows[-1]
+        import jax.numpy as jnp
+
+        if w["buf"] is None:
+            w["buf"] = jnp.zeros((self._cap,), jnp.float32)
+            w["cap"] = self._cap
+        w["buf"] = _hist_write()(w["buf"], packed, jnp.int32(w["off"]))
+        av._resolve = self._resolve_all_rows
+        w["rows"].append((av, w["off"], n, shapes))
+        w["off"] += n
 
     def schedule(self, av: "EpochAverages", fn) -> None:
         if not self.enabled:
             fn()
             return
-        self.flush()
-        av.start_read()  # kick the packed download now, non-blocking
-        self._pending = fn
+        self.attach(av)
+        w = self._windows[-1]
+        w["fns"].append(fn)
+        if len(w["fns"]) >= self.depth:
+            self._close_window()
+
+    def _close_window(self) -> None:
+        self._windows.append(self._new_window())
+        while len(self._windows) > 2:  # run windows aged one full cycle
+            self._run_window(self._windows.pop(0))
+
+    def _resolve_rows(self, w) -> None:
+        """Download one window's buffer (ONE transfer), distribute rows."""
+        rows, w["rows"] = w["rows"], []
+        buf, w["buf"], w["off"] = w["buf"], None, 0
+        flat = np.asarray(buf) if buf is not None else None
+        for av, off, n, shapes in rows:
+            av._resolve = None
+            if n:
+                av._fold_packed(flat[off:off + n], shapes)
+
+    def _resolve_all_rows(self) -> None:
+        # early read of a deferred EpochAverages: materialize every pending
+        # window's rows (summary closures stay queued, order unchanged)
+        for w in self._windows:
+            self._resolve_rows(w)
+
+    def _run_window(self, w) -> None:
+        self._resolve_rows(w)
+        for fn in w["fns"]:
+            fn()
 
     def flush(self) -> None:
-        if self._pending is not None:
-            fn, self._pending = self._pending, None
-            fn()
+        windows, self._windows = self._windows, [self._new_window()]
+        for w in windows:
+            self._run_window(w)
 
 
 class Progress:
