@@ -217,9 +217,10 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
         steps.interior = jnp.asarray(dataset.interior_sizes(), jnp.int32)
         placer = None
         scene_cache = None
-        # FCDGAN_DRIVER_FEED=stream A/Bs the pre-cache streaming feed;
-        # default mirrors the driver's auto selection (device-resident scene)
-        if os.environ.get("FCDGAN_DRIVER_FEED", "cache") == "cache":
+        # FCDGAN_DRIVER_FEED: cache (default) | window (rolling-slab feed for
+        # scenes past the HBM gate) | stream (pre-cache streaming A/B)
+        feed_env = os.environ.get("FCDGAN_DRIVER_FEED", "cache")
+        if feed_env == "cache":
             from fcdgan_tpu.data.device_cache import DeviceSceneCache
 
             if DeviceSceneCache.supports(dataset):
@@ -227,6 +228,14 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
                 # driver default: true short tail batch (reference torch
                 # drop_last=False semantics, no wrap-duplicate compute);
                 # FCDGAN_TAIL=pad A/Bs the fixed-shape padded tail
+                loader = scene_cache.loader(
+                    10, dataset, shuffle=True, seed=0,
+                    tail=os.environ.get("FCDGAN_TAIL", "short"))
+        elif feed_env == "window":
+            from fcdgan_tpu.data.device_cache import DeviceSceneWindowCache
+
+            if DeviceSceneWindowCache.supports(dataset):
+                scene_cache = DeviceSceneWindowCache(dataset, scaler)
                 loader = scene_cache.loader(
                     10, dataset, shuffle=True, seed=0,
                     tail=os.environ.get("FCDGAN_TAIL", "short"))
@@ -315,8 +324,9 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
         "scene_px": scene_px,
         "tiles_per_epoch": len(dataset),
         "mpx_per_s": round(mpx, 3),
-        "feed": "scene_cache" if scene_cache is not None else (
-            "native_raw" if placer is not None else "stream"),
+        "feed": (("scene_window" if feed_env == "window" else "scene_cache")
+                 if scene_cache is not None else (
+                     "native_raw" if placer is not None else "stream")),
         "device_normalize": placer is not None,
         "scene_dtype": scene_dt,
         # host-side budget: time the main thread spent waiting on the loader

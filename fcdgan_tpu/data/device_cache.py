@@ -46,13 +46,13 @@ class IndexBatchLoader(BatchLoader):
 
 _SCENE_PREP = None  # module-level jits: normalizers are TRACED args and
 _STITCH_RUN = None  # geometry is static, so same-geometry scenes (the OSCD
-#                     multi-scene case) share ONE compiled program instead of
+_WINDOW_RUN = None  # multi-scene case) share ONE compiled program instead of
 #                     re-tracing per scene, and the persistent compile cache
 #                     hits across runs (constants no longer baked per scene)
 
 
 def _scene_jits():
-    global _SCENE_PREP, _STITCH_RUN
+    global _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN
     if _SCENE_PREP is not None:
         return _SCENE_PREP, _STITCH_RUN
     import functools
@@ -61,12 +61,16 @@ def _scene_jits():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def prep(geom, arr, px, py, pref, origins, wins, norm):
+    def prep(geom, arr, px, py, pref, origins, wins, norm, row0):
+        # ``row0``: traced row offset subtracted from the global canvas
+        # origins — 0 for a whole-scene resident cache, the slab's first
+        # padded row for the rolling-window cache (px/py/pref then hold
+        # only that slab's rows)
         ph, pw = geom
         mx, sx, my, sy = norm
         idx = arr[:, 0]
         weight = arr[:, 1].astype(jnp.float32)
-        org = origins[idx]  # (B, 2) (row, col)
+        org = origins[idx] - jnp.stack([row0, jnp.zeros_like(row0)])  # (B, 2)
         win = wins[idx]     # (B, 4) (x0, y0, w, h)
 
         def slc(plane, o):
@@ -104,7 +108,7 @@ def _scene_jits():
             ids = chunks[i]
             arr = jnp.stack([ids, jnp.ones_like(ids)], axis=1)
             x, y, _, _, _ = prep((ph, pw), arr, px, py, pref, origins,
-                                 wins, norm)
+                                 wins, norm, jnp.int32(0))
             d = infer_fn(st, x, y).astype(jnp.float32)
             core = jax.lax.slice(d, (0, pady, padx, 0),
                                  (d.shape[0], pady + sy_, padx + sx_, 1))
@@ -126,7 +130,43 @@ def _scene_jits():
             out = out.astype(jnp.bfloat16)
         return out
 
-    _SCENE_PREP, _STITCH_RUN = prep, run
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def run_win(infer_fn, geom, density_dtype, chunks, px, py, pref, origins,
+                wins, norm, st, row0):
+        """Per-slab fused stitcher for the rolling-window cache: like ``run``
+        but gathers from a resident SLAB (origins offset by ``row0``, which is
+        both the slab's first padded row and its first output row — the two
+        coordinate systems share the ``ystarts`` keys) and stitches into a
+        fixed-height slab canvas; the caller crops/downloads per slab."""
+        ph, pw, padx, pady, sy_, sx_, out_h, out_w = geom
+
+        def body(i, out):
+            ids = chunks[i]
+            arr = jnp.stack([ids, jnp.ones_like(ids)], axis=1)
+            x, y, _, _, _ = prep((ph, pw), arr, px, py, pref, origins,
+                                 wins, norm, row0)
+            d = infer_fn(st, x, y).astype(jnp.float32)
+            core = jax.lax.slice(d, (0, pady, padx, 0),
+                                 (d.shape[0], pady + sy_, padx + sx_, 1))
+            org = origins[ids] - jnp.stack([row0, jnp.zeros_like(row0)])
+
+            def write(j, out):
+                return jax.lax.dynamic_update_slice(
+                    out, core[j], (org[j, 0], org[j, 1], 0))
+
+            return jax.lax.fori_loop(0, d.shape[0], write, out)
+
+        out = jax.lax.fori_loop(
+            0, chunks.shape[0], body,
+            jnp.zeros((out_h, out_w, 1), jnp.float32))
+        out = out[:, :, 0]
+        if density_dtype == "uint8":
+            out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        elif density_dtype == "bfloat16":
+            out = out.astype(jnp.bfloat16)
+        return out
+
+    _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN = prep, run, run_win
     return _SCENE_PREP, _STITCH_RUN
 
 
@@ -156,7 +196,11 @@ class DeviceSceneCache:
 
         def padded(raster, dtype=None):
             block = raster.read_block(0, 0, raster.xsize, raster.ysize)
-            dtype = dtype or block.dtype
+            dtype = np.dtype(dtype or block.dtype)
+            if dtype.itemsize > 4:
+                # fits() budgets 4 bytes for wide dtypes; prep consumes f32
+                # anyway, so downcast rather than doubling the HBM footprint
+                dtype = np.dtype(np.float32)
             out = np.zeros((hp, wp, block.shape[-1]), dtype)
             out[pady:pady + raster.ysize, padx:padx + raster.xsize] = block
             return out
@@ -200,7 +244,7 @@ class DeviceSceneCache:
 
         def bound_prep(arr, px, py, pref, origins, wins):
             return prep((ph, pw), arr, px, py, pref, origins, wins,
-                        self._norm)
+                        self._norm, jnp.int32(0))
 
         self._prep = bound_prep
 
@@ -327,6 +371,390 @@ class DeviceSceneCache:
         if density_dtype == "uint8":
             return host.astype(np.float32) / 255.0
         return host.astype(np.float32)
+
+
+class WindowIndexBatchLoader(BatchLoader):
+    """Index-only loader whose batches are grouped by window slab.
+
+    Epoch order is a TWO-LEVEL shuffle: a random slab order (rotated so the
+    already-resident slab leads — one fewer slab upload per epoch) times a
+    random within-slab permutation. This replaces the reference's global
+    shuffle for the out-of-core regime — standard windowed-shuffle practice:
+    every tile still trains exactly once per epoch, only batch composition
+    differs. Tail batches wrap-pad WITHIN the slab (weight 0) so every slab
+    yields fixed-shape batches from resident rows only; ``tail='short'``
+    yields each slab's true-size tail instead (one extra compiled shape per
+    distinct tail size)."""
+
+    def __init__(self, dataset, batch_size: int, cache, shuffle: bool = False,
+                 seed: int = 0, tail: str = "pad"):
+        super().__init__(dataset, batch_size, fields=("item",),
+                         shuffle=shuffle, seed=seed, tail=tail)
+        self._cache = cache
+
+    def __len__(self) -> int:
+        bs = self.batch_size
+        return sum((n + bs - 1) // bs for n in self._cache.slab_sizes)
+
+    def __iter__(self):
+        cache = self._cache
+        order = np.arange(cache.n_slabs)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        res = cache.resident_slab
+        if res is not None and len(order) > 1:
+            i = int(np.where(order == res)[0][0])
+            order = np.roll(order, -i)
+        self._epoch += 1
+        cache.begin_epoch(order)
+        bs = self.batch_size
+        for k in order:
+            items = cache.slab_items(int(k)).copy()
+            if self.shuffle:
+                self._rng.shuffle(items)
+            n = len(items)
+            for s in range(0, n, bs):
+                idx = items[s:s + bs]
+                weight = np.ones(len(idx), np.float32)
+                if len(idx) < bs and self.tail == "pad":
+                    extra = np.resize(items, bs - len(idx))
+                    idx = np.concatenate([idx, extra])
+                    weight = np.concatenate(
+                        [weight, np.zeros(bs - len(weight), np.float32)])
+                yield Batch(item=np.asarray(idx, np.int64), weight=weight,
+                            slab=int(k))
+
+
+class DeviceSceneWindowCache:
+    """Rolling-window HBM feed for scenes that exceed the resident-cache gate.
+
+    The full :class:`DeviceSceneCache` uploads the padded scene pair once;
+    past ``FCDGAN_SCENE_CACHE_MAX_MB`` that is impossible, and the round-3
+    streaming fallback (host tile assembly + per-batch upload,
+    /root/reference/data_utils.py:91-140 semantics) measured ~25% of the
+    cache headline (ab_round3.jsonl ``driver_stream``). Here the scene is
+    partitioned into horizontal SLABS of whole tile rows (slab height =
+    ``(rows-1)*stride + patch_h``, sized so two slabs fit the window
+    budget); training visits slabs in shuffled order while a background
+    thread reads the NEXT slab's raw rows from the raster and uploads them —
+    the slab upload amortizes over a whole slab of steps and overlaps
+    compute, so per-batch host->device traffic is again only the (B, 2)
+    index array, identical gather/normalize jit (``_SCENE_PREP`` with the
+    slab's row offset) and bit-identical tiles to the resident cache.
+
+    Budget: ``FCDGAN_SCENE_WINDOW_MB`` (default = the scene-cache gate);
+    each in-flight slab uses at most half. Single-process; mesh-replicated
+    slabs under a data-parallel mesh like the full cache."""
+
+    def __init__(self, dataset, normalize, mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        if dataset.transforms is not None:
+            raise ValueError(
+                "DeviceSceneWindowCache does not support sync transforms")
+        grid = dataset.grid
+        ph, pw = grid.canvas_shape()
+        hp, wp = grid.padded_shape()
+        padx, pady = grid.overlap_padding
+        nband = dataset.raster_x.nband
+        self._grid = grid
+        self._geom = (ph, pw, padx, pady, wp)
+        self._scene_hw = (dataset.raster_x.ysize, dataset.raster_x.xsize)
+        self._n_tiles = len(dataset)
+        self._dataset = dataset
+
+        rr = dataset.raster_ref
+        self._ref_dtype = (rr.dtype if rr is not None
+                           and np.issubdtype(rr.dtype, np.integer)
+                           and rr.dtype.itemsize <= 2 else np.dtype(np.float32))
+
+        rows = self._plan_rows(dataset)
+        if rows < 1:
+            raise ValueError("window budget cannot hold even one tile row; "
+                             "raise FCDGAN_SCENE_WINDOW_MB")
+        ys = grid.ystarts
+        ny = len(ys)
+        self._rows_per_slab = rows
+        self._slab_r0 = list(range(0, ny, rows))
+        self._stride = ph - 2 * pady
+        # fixed buffer height across slabs -> one compiled prep program
+        self._slab_h = (rows - 1) * self._stride + ph
+
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._bshard = batch_sharding(mesh)
+            rshard = replicated(mesh)
+            self._put = lambda a: jax.device_put(a, rshard)
+        else:
+            self._bshard = None
+            self._put = jax.device_put
+
+        self._origins = self._put(grid.canvas_origins())
+        self._wins = self._put(grid.write_windows())
+
+        if normalize is not None:
+            mx = np.asarray(normalize.meansX[:nband], np.float32)
+            sx = np.asarray(normalize.stdX[:nband], np.float32)
+            my = np.asarray(normalize.meansY[:nband], np.float32)
+            sy = np.asarray(normalize.stdY[:nband], np.float32)
+        else:
+            mx = my = np.zeros(nband, np.float32)
+            sx = sy = np.ones(nband, np.float32)
+        self._norm = tuple(self._put(v) for v in (mx, sx, my, sy))
+
+        prep, _ = _scene_jits()
+
+        def bound_prep(arr, px, py, pref, row0):
+            return prep((ph, pw), arr, px, py, pref, self._origins,
+                        self._wins, self._norm, row0)
+
+        self._prep = bound_prep
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="slab-feed")
+        self._lock = threading.Lock()
+        self._futures: Dict[int, object] = {}
+        self._resident: Dict[int, tuple] = {}
+        self._current: Optional[int] = None
+        self._order: list = []
+
+    # -- slab geometry -------------------------------------------------------
+    @staticmethod
+    def _bytes_per_row(dataset) -> int:
+        """Host/HBM bytes per padded scene row across x, y and ref, using the
+        same dtype resolution as the resident buffers."""
+        _, wp = dataset.grid.padded_shape()
+        total = 0
+        for r in (dataset.raster_x, dataset.raster_y, dataset.raster_ref):
+            if r is None:
+                continue
+            itemsize = r.dtype.itemsize if r.dtype.itemsize <= 4 else 4
+            if r is dataset.raster_ref:
+                itemsize = (r.dtype.itemsize
+                            if np.issubdtype(r.dtype, np.integer)
+                            and r.dtype.itemsize <= 2 else 4)
+            total += wp * r.nband * itemsize
+        return total
+
+    @staticmethod
+    def _budget_bytes() -> float:
+        mb = os.environ.get("FCDGAN_SCENE_WINDOW_MB")
+        if mb is None:
+            mb = os.environ.get("FCDGAN_SCENE_CACHE_MAX_MB", "4096")
+        return float(mb) * 1e6
+
+    @classmethod
+    def _plan_rows(cls, dataset) -> int:
+        """Max tile rows per slab such that TWO slabs fit the budget."""
+        grid = dataset.grid
+        ph = grid.canvas_shape()[0]
+        stride = ph - 2 * grid.overlap_padding[1]
+        per_row = cls._bytes_per_row(dataset)
+        half = cls._budget_bytes() / 2
+        ny = len(grid.ystarts)
+        rows = int((half / max(per_row, 1) - ph) // stride) + 1
+        return max(0, min(rows, ny))
+
+    @staticmethod
+    def supports(dataset) -> bool:
+        """True when the dataset can feed from a rolling window: Normalize
+        (or no) enhance, no sync transforms, and one tile-row slab within
+        half the window budget. (Use the full DeviceSceneCache instead when
+        the whole scene fits — this class never checks that.)"""
+        from .normalize import Normalize
+
+        if dataset.transforms is not None:
+            return False
+        if dataset.enhance is not None and not isinstance(dataset.enhance,
+                                                          Normalize):
+            return False
+        return DeviceSceneWindowCache._plan_rows(dataset) >= 1
+
+    @property
+    def n_slabs(self) -> int:
+        return len(self._slab_r0)
+
+    @property
+    def slab_sizes(self) -> list:
+        nx = self._grid.patch_count[0]
+        ny = len(self._grid.ystarts)
+        return [nx * (min(r0 + self._rows_per_slab, ny) - r0)
+                for r0 in self._slab_r0]
+
+    @property
+    def resident_slab(self) -> Optional[int]:
+        return self._current
+
+    def slab_items(self, k: int) -> np.ndarray:
+        """Global item ids of slab k (item = item_x * ny + item_y)."""
+        nx, ny = self._grid.patch_count
+        r0 = self._slab_r0[k]
+        r1 = min(r0 + self._rows_per_slab, ny)
+        rows = np.arange(r0, r1)
+        return (np.arange(nx)[:, None] * ny + rows[None, :]).reshape(-1)
+
+    # -- slab IO (worker thread) ----------------------------------------------
+    def _load_slab(self, k: int) -> tuple:
+        """Read slab k's raw scene rows, zero-pad horizontally, upload.
+        Returns (px, py, pref, row0) device buffers."""
+        ph, pw, padx, pady, wp = self._geom
+        hs, ws = self._scene_hw
+        ys = self._grid.ystarts
+        p0 = ys[self._slab_r0[k]]  # first padded row of the slab
+
+        def read(raster, dtype):
+            host = np.zeros((self._slab_h, wp, raster.nband), dtype)
+            s0 = max(p0 - pady, 0)
+            s1 = min(p0 - pady + self._slab_h, hs)
+            if s1 > s0:
+                dest = s0 - (p0 - pady)
+                block = raster.read_block(0, s0, ws, s1 - s0)
+                host[dest:dest + (s1 - s0), padx:padx + ws] = block
+            return self._put(host)
+
+        ds = self._dataset
+
+        def slab_dtype(r):
+            dt = np.dtype(r.dtype)
+            return dt if dt.itemsize <= 4 else np.dtype(np.float32)
+
+        px = read(ds.raster_x, slab_dtype(ds.raster_x))
+        py = read(ds.raster_y, slab_dtype(ds.raster_y))
+        pref = (read(ds.raster_ref, self._ref_dtype)
+                if ds.raster_ref is not None else None)
+        return (px, py, pref, np.int32(p0))
+
+    def _ensure(self, k: int) -> None:
+        with self._lock:
+            if k == self._current or k in self._resident or k in self._futures:
+                return
+            self._futures[k] = self._pool.submit(self._load_slab, k)
+
+    def begin_epoch(self, order) -> None:
+        """Called by the loader at epoch start with the slab visit order."""
+        order = [int(v) for v in order]
+        with self._lock:
+            self._order = order
+        self._ensure(order[0])
+        if len(order) > 1 and order[0] == self._current:
+            # the resident slab leads: prefetch the following one now so the
+            # first slab switch doesn't stall on a cold load
+            self._ensure(order[1])
+
+    def _advance_to(self, k: int) -> None:
+        with self._lock:
+            fut = self._futures.pop(k, None)
+        bufs = fut.result() if fut is not None else None
+        with self._lock:
+            if bufs is not None:
+                self._resident[k] = bufs
+            if k not in self._resident:
+                need_sync = True
+            else:
+                need_sync = False
+        if need_sync:  # out-of-order access (no begin_epoch): load inline
+            bufs = self._load_slab(k)
+            with self._lock:
+                self._resident[k] = bufs
+        with self._lock:
+            self._current = k
+            for other in [s for s in self._resident if s != k]:
+                del self._resident[other]
+            order = self._order
+        if k in order:
+            i = order.index(k)
+            if i + 1 < len(order):
+                self._ensure(order[i + 1])
+
+    # -- feed ------------------------------------------------------------------
+    def complete(self, batch: Dict) -> Dict:
+        """(item, weight, slab) host batch -> normalized f32 device batch."""
+        import jax
+
+        k = int(batch["slab"])
+        if k != self._current:
+            self._advance_to(k)
+        px, py, pref, row0 = self._resident[k]
+        arr = np.stack([np.asarray(batch["item"], np.int32),
+                        np.asarray(batch["weight"], np.int32)], axis=1)
+        if self._bshard is not None and arr.shape[0] % self._mesh.devices.size == 0:
+            arr = jax.device_put(arr, self._bshard)
+        x, y, ref, item, weight = self._prep(arr, px, py, pref, row0)
+        return Batch(x=x, y=y, ref=ref, item=item, weight=weight)
+
+    def loader(self, batch_size: int, dataset, shuffle: bool = False,
+               seed: int = 0, tail: str = "pad") -> WindowIndexBatchLoader:
+        if tail == "short" and self._mesh is not None:
+            tail = "pad"  # batch-axis sharding needs the fixed shape
+        return WindowIndexBatchLoader(dataset, batch_size, self,
+                                      shuffle=shuffle, seed=seed, tail=tail)
+
+    # -- fused windowed inference ---------------------------------------------
+    def stitched_density(self, infer_fn, sstate, batch_size: int = 10,
+                         density_dtype: str = "float32"):
+        """Whole-scene stitched density via per-slab fused programs.
+
+        Each slab runs ONE device program (gather + infer + interior stitch
+        into a slab canvas — same semantics as the resident cache's fused
+        stitcher, reference parity data_utils.py:178-213); its download and
+        the next slab's upload overlap the next slab's compute. Chunk lists
+        are wrap-padded to a fixed shape so every slab shares one compiled
+        program (duplicate tiles re-write identical interiors)."""
+        import jax.numpy as jnp
+
+        _scene_jits()
+        run_win = _WINDOW_RUN
+        grid = self._grid
+        ph, pw, padx, pady, wp = self._geom
+        sy_, sx_ = ph - 2 * pady, pw - 2 * padx
+        hs, ws = self._scene_hw
+        ys = grid.ystarts
+        out_h = (self._rows_per_slab - 1) * self._stride + sy_
+        out_w = wp - 2 * padx
+        geom = (ph, pw, padx, pady, sy_, sx_, out_h, out_w)
+
+        bs = min(batch_size, max(self.slab_sizes))
+        max_chunks = max(-(-n // bs) for n in self.slab_sizes)
+        host_dt = np.uint8 if density_dtype == "uint8" else np.float32
+        out = np.zeros((hs, ws), host_dt)
+        pending = None  # (dev, y0, rows)
+
+        def resolve(p):
+            dev, y0, rows = p
+            host = np.asarray(dev)
+            out[y0:y0 + rows] = host[:rows, :ws]
+
+        for k in range(self.n_slabs):
+            self._ensure(k)
+            if k + 1 < self.n_slabs:
+                self._ensure(k + 1)
+            self._advance_to(k)
+            px, py, pref, row0 = self._resident[k]
+            items = self.slab_items(k)
+            idxs = np.resize(items.astype(np.int32), max_chunks * bs)
+            idxs = idxs.reshape(max_chunks, bs)
+            dev = run_win(infer_fn, geom, density_dtype, jnp.asarray(idxs),
+                          px, py, pref, self._origins, self._wins,
+                          self._norm, sstate, jnp.int32(int(row0)))
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            if pending is not None:
+                resolve(pending)
+            y0 = ys[self._slab_r0[k]]
+            pending = (dev, y0, min(out_h, hs - y0))
+        if pending is not None:
+            resolve(pending)
+        if density_dtype == "uint8":
+            return out.astype(np.float32) / 255.0
+        return out.astype(np.float32)
 
 
 class IndexPairBatchLoader(BatchLoader):
@@ -626,7 +1054,15 @@ class DeviceOSCDCache:
                 return False
         ph, pw = dataset.dslist[0].ds.grid.canvas_shape()
         nband = dataset.dslist[0].ds.raster_x.nband
-        per = ph * pw * (2 * nband * 2 + 4 + 4)  # u16 x/y + f32 ref/region
+        # same dtype resolution as __init__: the x/y stacks are stored in the
+        # scenes' common integral dtype when itemsize <= 2, else widened to
+        # float32 — budget the TRUE per-item bytes, not a hardcoded 2
+        dts = [s.ds.raster_x.dtype for s in dataset.dslist]
+        dts += [s.ds.raster_y.dtype for s in dataset.dslist]
+        common = np.result_type(*dts)
+        if not (np.issubdtype(common, np.integer) and common.itemsize <= 2):
+            common = np.dtype(np.float32)
+        per = ph * pw * (2 * nband * common.itemsize + 4 + 4)  # + f32 ref/region
         limit = float(os.environ.get("FCDGAN_TILE_CACHE_MAX_MB", "4096"))
         return len(dataset) * per <= limit * 1e6
 

@@ -163,6 +163,17 @@ class TileGrid:
         return (self._ystart[-1] + self.patch_size[1],
                 self._xstart[-1] + self.patch_size[0])
 
+    @property
+    def xstarts(self) -> List[int]:
+        """Grid start columns per tile column (scene coordinates)."""
+        return list(self._xstart)
+
+    @property
+    def ystarts(self) -> List[int]:
+        """Grid start rows per tile row (scene coordinates) — the row keys
+        that drive the rolling-window slab partition (device_cache)."""
+        return list(self._ystart)
+
 
 def interior_mask(
     canvas_hw: Tuple[int, int], pad: Tuple[int, int], core_hw

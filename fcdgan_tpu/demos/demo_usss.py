@@ -85,20 +85,29 @@ def run(cfg: USSSConfig) -> Dict:
     # integral raster dtype allow it (single-process only).
     mesh = make_mesh(cfg.n_devices) if (cfg.n_devices or multihost) else None
 
-    # scene_cache ("auto"/"on"/"off"): HBM-resident raw scene + on-device
-    # tile gather/normalize — each training batch uploads only (item, weight)
-    # int32 pairs. Strictly dominates the per-step raw-tile upload whenever
-    # the scene fits the HBM budget (data/device_cache.py; single-process).
-    from ..data.device_cache import DeviceSceneCache
+    # scene_cache ("auto"/"on"/"window"/"off"): HBM-resident raw scene +
+    # on-device tile gather/normalize — each training batch uploads only
+    # (item, weight) int32 pairs. Strictly dominates the per-step raw-tile
+    # upload whenever the scene fits the HBM budget (data/device_cache.py;
+    # single-process). Scenes PAST the budget get the rolling-window slab
+    # feed (DeviceSceneWindowCache): same on-device gather from a resident
+    # slab, background thread uploading the next slab during compute.
+    # "window" forces the slab feed even when the whole scene would fit
+    # (A/B and test hook).
+    from ..data.device_cache import DeviceSceneCache, DeviceSceneWindowCache
 
     scene_cache = None
-    if (cfg.scene_cache != "off" and not multihost
-            and DeviceSceneCache.supports(dataset)):
-        scene_cache = DeviceSceneCache(dataset, scaler, mesh)
-    if cfg.scene_cache == "on" and scene_cache is None:
+    if cfg.scene_cache != "off" and not multihost:
+        if cfg.scene_cache != "window" and DeviceSceneCache.supports(dataset):
+            scene_cache = DeviceSceneCache(dataset, scaler, mesh)
+        elif DeviceSceneWindowCache.supports(dataset):
+            scene_cache = DeviceSceneWindowCache(dataset, scaler, mesh)
+    if cfg.scene_cache in ("on", "window") and scene_cache is None:
         raise RuntimeError(
-            "--scene-cache on: needs a single process, a Normalize enhance, "
-            "no transforms, and the scene within FCDGAN_SCENE_CACHE_MAX_MB")
+            "--scene-cache {}: needs a single process, a Normalize enhance, "
+            "no transforms, and the scene (or one tile-row slab) within "
+            "FCDGAN_SCENE_CACHE_MAX_MB / FCDGAN_SCENE_WINDOW_MB".format(
+                cfg.scene_cache))
 
     # tail batches: reference torch semantics run the true short tail
     # (config.py `tail`); mesh/multi-host keep the fixed padded shape

@@ -122,9 +122,11 @@ def run(cfg: WSSSConfig) -> Dict:
                         scale=scaler, label_selected="0", transforms=eraser)
     total_unc = len(unc_ds)
     # the unchanged G-pretrain set has the same file list as the pair's
-    # nc side, so it feeds from the same device stacks
+    # nc side, so it feeds from the same device stacks; gate on the exact
+    # path list (not just lengths) so a selection/ordering divergence can
+    # never silently index the wrong slices
     unc_cached = (whu_cache is not None and eraser is None
-                  and len(unc_ds) == pair_ds.nc_len)
+                  and unc_ds.img_path_x == pair_ds.nc_ds.img_path_x)
     if unc_cached:
         unc_loader = whu_cache.unc_loader(cfg.unc_batch_size, unc_ds,
                                           shuffle=True, seed=cfg.seed,

@@ -194,11 +194,20 @@ def stitched_inference(
     # (DeviceSceneCache.stitched_density) — no per-batch dispatch/download
     # round trips at all; one download of the finished raster. 'cache' =
     # per-batch cache feed (pipelined), 'stream' = host tile assembly.
-    if device_feed == "auto":
-        from ..data.device_cache import DeviceSceneCache
+    # The fused program always crops halos on device and picks its own
+    # transfer encoding, so only take the shortcut when the request's
+    # semantics match; otherwise fall through to the streaming path.
+    if device_feed == "auto" and crop_halo and transfer_dtype is None:
+        from ..data.device_cache import DeviceSceneCache, DeviceSceneWindowCache
 
-        if scene_cache is not None or DeviceSceneCache.supports(dataset):
-            cache = scene_cache or DeviceSceneCache(dataset, dataset.enhance)
+        cache = scene_cache
+        if cache is None and DeviceSceneCache.supports(dataset):
+            cache = DeviceSceneCache(dataset, dataset.enhance)
+        if cache is None and DeviceSceneWindowCache.supports(dataset):
+            # scene past the HBM gate: per-slab fused programs with
+            # overlapped slab upload/download (rolling-window serving)
+            cache = DeviceSceneWindowCache(dataset, dataset.enhance)
+        if cache is not None:
             t0 = time.perf_counter()
             density = cache.stitched_density(infer_fn, sstate,
                                              batch_size=batch_size,

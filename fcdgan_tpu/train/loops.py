@@ -251,7 +251,12 @@ class DeferredEpochEnd:
     their ``EpochAverages``, and runs the queued summary closures in order.
     The reference prints inline each epoch (Demo_USSS.py:366-372) — content
     and ORDER are identical here, only the wall-clock moment of the print
-    shifts by <= ``depth`` epochs.
+    shifts: a window closed at epoch E resolves when the NEXT window closes,
+    so a summary can lag up to ``2 * depth`` epochs (the aging is deliberate —
+    resolving a just-closed window would download while its epochs' steps may
+    still be queued, draining the device pipeline). An ``atexit`` hook
+    flushes any queued summaries on interpreter shutdown so an interrupted
+    run still prints every completed epoch.
 
     NB the one-epoch predecessor of this class prefetched via
     ``av.start_read()``; on the axon relay ``copy_to_host_async`` on a
@@ -270,7 +275,9 @@ class DeferredEpochEnd:
     transition."""
 
     def __init__(self, enabled: bool = True, depth: Optional[int] = None):
+        import atexit
         import os
+        import weakref
 
         if depth is None:
             depth = int(os.environ.get("FCDGAN_DEFER_DEPTH", "16"))
@@ -283,6 +290,20 @@ class DeferredEpochEnd:
         # long ago, so its single download costs one round trip, never a
         # pipeline drain.
         self._windows = [self._new_window()]
+        # abnormal termination (crash/KeyboardInterrupt that unwinds to exit)
+        # must not swallow queued epoch summaries: best-effort flush at exit
+        ref = weakref.ref(self)
+
+        def _flush_at_exit():
+            inst = ref()
+            if inst is None:
+                return
+            try:
+                inst.flush()
+            except Exception:
+                pass  # donated buffers may be gone mid-crash; don't mask exit
+
+        atexit.register(_flush_at_exit)
 
     @staticmethod
     def _new_window():

@@ -116,6 +116,121 @@ def test_driver_cache_matches_streaming(tmp_path):
     assert np.array_equal(cms["on"], cms["off"])
 
 
+def test_window_cache_matches_full_cache(tmp_path):
+    """Rolling-window slab feed: every epoch covers each tile exactly once,
+    and completed batches are BIT-IDENTICAL to the whole-scene resident
+    cache (same _SCENE_PREP jit, slab-local row offset)."""
+    from fcdgan_tpu.data.device_cache import DeviceSceneWindowCache
+    from fcdgan_tpu.data.pipeline import Batch
+
+    ds, scaler = _build(tmp_path, np.uint16, xsize=100, ysize=90,
+                        patch=(48, 40), pad=(6, 4))
+    full = DeviceSceneCache(ds, scaler)
+    os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"  # ~2 tile rows / slab
+    try:
+        assert DeviceSceneWindowCache.supports(ds)
+        win = DeviceSceneWindowCache(ds, scaler)
+        assert win.n_slabs > 1
+        assert sum(win.slab_sizes) == len(ds)
+        loader = win.loader(4, ds, shuffle=True, seed=3)
+        for _ in range(2):  # 2 epochs: exercises resident-slab rotation
+            seen = []
+            for b in iter(loader):
+                db = win.complete(b)
+                real = np.asarray(b["weight"]) > 0
+                seen.extend(np.asarray(b["item"])[real].tolist())
+                fb = full.complete(Batch(item=b["item"], weight=b["weight"]))
+                for k in ("x", "y", "ref", "item", "weight"):
+                    assert np.array_equal(np.asarray(db[k]),
+                                          np.asarray(fb[k])), k
+            assert sorted(seen) == list(range(len(ds)))
+    finally:
+        del os.environ["FCDGAN_SCENE_WINDOW_MB"]
+
+
+def test_window_cache_budget_gate(tmp_path):
+    from fcdgan_tpu.data.device_cache import DeviceSceneWindowCache
+
+    ds, scaler = _build(tmp_path, np.uint16)
+    os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.0001"
+    try:
+        assert not DeviceSceneWindowCache.supports(ds)
+    finally:
+        del os.environ["FCDGAN_SCENE_WINDOW_MB"]
+    assert DeviceSceneWindowCache.supports(ds)  # default budget
+    ds.transforms = lambda x: x
+    assert not DeviceSceneWindowCache.supports(ds)
+
+
+def test_window_stitched_density_matches_full(tmp_path):
+    """Per-slab fused stitcher == whole-scene fused stitcher, bit-exact
+    (disjoint interior writes; wrap-padded chunks are idempotent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.data.device_cache import DeviceSceneWindowCache
+    from fcdgan_tpu.models import Segmentor
+    from fcdgan_tpu.train.optim import adam
+    from fcdgan_tpu.train.state import create_net_state
+
+    ds, scaler = _build(tmp_path, np.uint16, xsize=100, ysize=90,
+                        patch=(48, 40), pad=(6, 4))
+    model = Segmentor(3, bilinear=True)
+    zx = jnp.zeros((1, 40, 48, 3))
+    sstate = create_net_state(model, jax.random.PRNGKey(0), (zx, zx), adam())
+    infer = jax.jit(lambda st, x, y: model.apply(
+        st.variables, x, y, train=False).astype(jnp.float32))
+
+    full = DeviceSceneCache(ds, scaler)
+    want = full.stitched_density(infer, sstate, batch_size=3)
+    os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"
+    try:
+        win = DeviceSceneWindowCache(ds, scaler)
+        assert win.n_slabs > 1
+        got = win.stitched_density(infer, sstate, batch_size=3)
+    finally:
+        del os.environ["FCDGAN_SCENE_WINDOW_MB"]
+    assert got.shape == want.shape == (90, 100)
+    assert np.array_equal(got, want)
+    # uint8 path quantizes identically too
+    want8 = full.stitched_density(infer, sstate, batch_size=3,
+                                  density_dtype="uint8")
+    os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"
+    try:
+        win2 = DeviceSceneWindowCache(ds, scaler)
+        got8 = win2.stitched_density(infer, sstate, batch_size=3,
+                                     density_dtype="uint8")
+    finally:
+        del os.environ["FCDGAN_SCENE_WINDOW_MB"]
+    assert np.array_equal(got8, want8)
+
+
+@pytest.mark.slow
+def test_driver_window_cache_e2e(tmp_path):
+    """demo_usss --scene-cache window end to end on a multi-slab scene:
+    artifacts written, density in range, confusion totals the scene."""
+    from fcdgan_tpu.config import USSSConfig
+    from fcdgan_tpu.data.tiff import TiffReader
+    from fcdgan_tpu.demos import demo_usss
+
+    d = str(tmp_path / "scene")
+    make_usss_scene(d, 96, 80, 3, dtype=np.uint16, seed=7)
+    os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"
+    try:
+        cfg = USSSConfig(dir=d, outdir=str(tmp_path / "out_w"),
+                         init_num_epochs_g=1, init_num_epochs_s=1, num_epochs=1,
+                         batch_size=4, patch_size=(48, 48), overlap_padding=(4, 4),
+                         msssim_weights=(0.5, 0.5), log_tensorboard=False,
+                         progress=False, scene_cache="window", ext="_w")
+        res = demo_usss.run(cfg)
+    finally:
+        del os.environ["FCDGAN_SCENE_WINDOW_MB"]
+    dens = TiffReader(res["density_path"]).read_block()[..., 0]
+    assert dens.shape == (80, 96)
+    assert float(dens.min()) >= 0.0 and float(dens.max()) <= 1.0
+    assert res["evaluator"].confusion_matrix.sum() == 80 * 96
+
+
 def _whu(tmp_path, n_changed=3, n_unchanged=4):
     from fcdgan_tpu.data.datasets import WHUPairDataset
     from fcdgan_tpu.data.synthetic import make_whu_dataset
