@@ -128,23 +128,49 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
             stitched_inference(ds, infer, sstate, batch_size=10,
                                density_dtype=dd, device_feed=feed,
                                scene_cache=cache)
-            reps = []
-            for _ in range(3):  # repetitions: the relay's transfer latency
-                # is noisy (round-2 recorded 0.373-1.013 Mpx/s for the same
-                # config); report the median
+
+            def one_rep():
                 ds2 = ScenePairDataset(paths["x"], paths["y"], out_path=out,
                                        patch_size=(220, 220),
                                        overlap_padding=(10, 10))
-                reps.append(stitched_inference(ds2, infer, sstate,
-                                               batch_size=10, density_dtype=dd,
-                                               device_feed=feed,
-                                               scene_cache=cache))
-            reps.sort(key=lambda st: st["px_per_s"])
-            return reps[1], [round(st["px_per_s"] / 1e6, 3) for st in reps]
+                t0 = time.time()
+                st = stitched_inference(ds2, infer, sstate, batch_size=10,
+                                        density_dtype=dd, device_feed=feed,
+                                        scene_cache=cache)
+                st["t_start"] = round(t0, 3)
+                st["wall_s"] = round(time.time() - t0, 3)
+                return st
 
-        base, base_reps = run("float32")
-        stats, rep_vals = ((base, base_reps) if density_dtype == "float32"
-                           else run(density_dtype))
+            # Stall-resistant protocol (VERDICT r3 task 3): the axon relay
+            # occasionally stalls a whole rep (round-3 recorded 0.043 vs 2.86
+            # Mpx/s reps of one config — a ~60x spread with per-rep wall time
+            # absorbed by a single blocked transfer). Collect 3 reps with
+            # timestamps; any rep <35% of the best is a stall signature —
+            # discard it, LOG it, and run a replacement (up to 3 extras).
+            reps, stalls = [one_rep() for _ in range(3)], []
+            for _ in range(3):
+                best = max(st["px_per_s"] for st in reps)
+                slow = [st for st in reps if st["px_per_s"] < 0.35 * best]
+                if not slow:
+                    break
+                reps.remove(slow[0])
+                stalls.append(slow[0])
+                reps.append(one_rep())
+            reps.sort(key=lambda st: st["px_per_s"])
+            info = {
+                "reps_mpx_per_s": [round(st["px_per_s"] / 1e6, 3) for st in reps],
+                "rep_wall_s": [st["wall_s"] for st in reps],
+                "rep_t_start": [st["t_start"] for st in reps],
+                "stalls_discarded": [
+                    {"mpx_per_s": round(st["px_per_s"] / 1e6, 3),
+                     "wall_s": st["wall_s"], "t_start": st["t_start"]}
+                    for st in stalls],
+            }
+            return reps[len(reps) // 2], info
+
+        base, base_info = run("float32")
+        stats, info = ((base, base_info) if density_dtype == "float32"
+                       else run(density_dtype))
 
         # device-compute-only px/s: chained in-jit loop over the segmentor
         # forward (defeats the relay's async dispatch; no host I/O) — the
@@ -170,7 +196,8 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
         "value": round(stats["px_per_s"] / 1e6, 3),
         "unit": "Mpx/s",
         "vs_baseline": round(stats["px_per_s"] / base["px_per_s"], 3),
-        "reps_mpx_per_s": rep_vals,
+        **info,
+        "f32_reps_mpx_per_s": base_info["reps_mpx_per_s"],
         "feed": feed,
         "device_compute_mpx_per_s": round(compute_mpx, 2),
     }))
@@ -565,6 +592,340 @@ def bench_rsss(batch=12, hw=200, nband=4):
                          ref_flops_fn=flops)
 
 
+def _driver_result(metric, epochs, dt, px_per_epoch, budget, n_batches,
+                   step_mpx, extra=None):
+    mpx = px_per_epoch * epochs / dt / 1e6
+    out = {
+        "metric": metric,
+        "value": round(epochs / dt, 4),
+        "unit": "epochs/s",
+        "vs_baseline": -1.0,
+        "mpx_per_s": round(mpx, 3),
+        "step_mpx_per_s": round(step_mpx, 3),
+        "driver_frac_of_step": round(mpx / step_mpx, 3) if step_mpx else -1.0,
+        "budget_ms_per_batch": {
+            k: round(v / max(epochs, 1) / max(n_batches, 1) * 1e3, 1)
+            for k, v in budget.items() if k != "epoch_sync_s"},
+        "epoch_sync_ms": round(budget["epoch_sync_s"] / max(epochs, 1) * 1e3, 1),
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
+    return out
+
+
+def bench_wsss_driver(epochs: int = 3, n_pairs: int = 150, hw: int = 200):
+    """WSSS end-to-end adversarial-phase driver headline (VERDICT r3 task 4):
+    loader (order_reset pairing) + device placement + adversarial D-then-S
+    step + on-device metric accumulation, epochs/s over a synthetic WHU slice
+    set at the production config (Demo_WSSS.py:208-385 hot loop; bs 15,
+    200 px slices). step_mpx_per_s is the same step measured device-resident
+    in-process, so driver_frac_of_step isolates the feeding overhead."""
+    import random
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    from fcdgan_tpu.data.datasets import WHUDataset, WHUPairDataset
+    from fcdgan_tpu.data.device_cache import DeviceWHUCache
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.pipeline import prefetch
+    from fcdgan_tpu.data.stats import dataset_meanstd
+    from fcdgan_tpu.data.synthetic import make_whu_dataset
+    from fcdgan_tpu.models import Discriminator, Generator, Segmentor
+    from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
+    from fcdgan_tpu.train import schedules
+    from fcdgan_tpu.train.loops import DeferredEpochEnd, EpochAverages
+    from fcdgan_tpu.train.optim import adam, rmsprop
+    from fcdgan_tpu.train.state import create_net_state
+    from fcdgan_tpu.train.steps import PerceptionConfig, WSSSSteps
+
+    batch = 15
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_whu_dataset(td, n_changed=n_pairs, n_unchanged=n_pairs,
+                                 size=hw)
+        stats_ds = WHUDataset(paths["before"], paths["after"], paths["Label"],
+                              td, "-1")
+        sp1 = os.path.join(paths["before"], "stats_meanstd.txt")
+        sp2 = os.path.join(paths["after"], "stats_meanstd.txt")
+        scaler = Normalize(*dataset_meanstd(sp1, sp2, stats_ds))
+        pair_ds = WHUPairDataset(paths["before"], paths["after"], paths["Label"],
+                                 td, scale=scaler, random_assign=False,
+                                 rng=random.Random(0))
+        total = len(pair_ds)
+
+        whu_cache = None
+        feed = os.environ.get("FCDGAN_DRIVER_FEED", "cache")
+        if feed == "cache" and DeviceWHUCache.supports(pair_ds):
+            whu_cache = DeviceWHUCache(pair_ds, scaler)
+            pair_loader = whu_cache.pair_loader(
+                batch, pair_ds, shuffle=True, seed=0,
+                epoch_hook=lambda e: pair_ds.order_reset(),
+                tail=os.environ.get("FCDGAN_TAIL", "short"))
+        else:
+            from fcdgan_tpu.data.pipeline import PairBatchLoader
+
+            fields = ("x", "y", "ref", "item", "label")
+            pair_loader = PairBatchLoader(
+                pair_ds, batch, c_fields=fields, nc_fields=fields,
+                shuffle=True, seed=0,
+                epoch_hook=lambda e: pair_ds.order_reset(),
+                tail=os.environ.get("FCDGAN_TAIL", "short"))
+
+        dtype = (jnp.bfloat16
+                 if os.environ.get("FCDGAN_BENCH_DTYPE", "bfloat16") == "bfloat16"
+                 else None)
+        net_g = Generator(3, dtype=dtype)
+        net_s = Segmentor(3, bilinear=True, dtype=dtype)
+        net_d = Discriminator(3, dtype=dtype)
+        tx_g, tx_s, tx_d = adam(), rmsprop(), rmsprop()
+        steps = WSSSSteps(
+            net_g, net_s, net_d, tx_g, tx_s, tx_d, load_vgg16_params(),
+            PerceptionConfig(select_feature_layers(1), per_band=False,
+                             dtype="bfloat16" if dtype is not None else None),
+            perception_weight=0.5, ssim_weight=0.0, g_weight=0.2,
+            l1_weight=1.6, d_weight=1.0, nc_weight=1.5, prob_thresh=0.6,
+        )
+        key = jax.random.PRNGKey(0)
+        zx = jnp.zeros((1, hw, hw, 3), jnp.float32)
+        gstate = create_net_state(net_g, key, (zx,), tx_g)
+        sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+        dstate = create_net_state(net_d, jax.random.fold_in(key, 2), (zx, zx), tx_d)
+
+        from fcdgan_tpu.parallel.mesh import shard_batch
+
+        def put_pair(b):
+            return (whu_cache.complete_pair(b) if whu_cache is not None
+                    else shard_batch(b, None))
+
+        budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0,
+                  "epoch_sync_s": 0.0}
+        deferred = DeferredEpochEnd(enabled=True)
+        sink = []
+
+        def epoch(i, timed=False):
+            nonlocal sstate, dstate
+            lr_s = schedules.S_ADV_WSSS(i)
+            lr_d = schedules.D_ADV_WSSS(i)
+            av = EpochAverages(total)
+            it = prefetch(iter(pair_loader), 2)
+            while True:
+                t0 = time.perf_counter()
+                b = next(it, None)
+                if b is None:
+                    break
+                t1 = time.perf_counter()
+                db = put_pair(b)
+                t2 = time.perf_counter()
+                sstate, dstate, m = steps.adversarial(
+                    sstate, dstate, gstate, db["c_x"], db["c_y"], db["c_ref"],
+                    db["nc_x"], db["nc_y"], db["weight"], lr_s, lr_d)
+                av.update(m, float(np.asarray(b["weight"]).sum()))
+                t3 = time.perf_counter()
+                if timed:
+                    budget["load_s"] += t1 - t0
+                    budget["put_s"] += t2 - t1
+                    budget["dispatch_s"] += t3 - t2
+            ts = time.perf_counter()
+            deferred.schedule(av, lambda av=av: sink.append(av["s_loss"]))
+            if timed:
+                budget["epoch_sync_s"] += time.perf_counter() - ts
+
+        gstate, sstate, dstate = map(jax.device_put, (gstate, sstate, dstate))
+        epoch(0)
+        deferred.flush()
+        t0 = time.perf_counter()
+        for i in range(epochs):
+            epoch(i + 1, timed=True)
+        ts = time.perf_counter()
+        deferred.flush()
+        budget["epoch_sync_s"] += time.perf_counter() - ts
+        dt = time.perf_counter() - t0
+
+        # device-resident step-only rate for driver_frac_of_step
+        rng = np.random.default_rng(0)
+        mk = lambda: jnp.asarray(rng.normal(size=(batch, hw, hw, 3)).astype(np.float32))
+        args = (mk(), mk(), jnp.asarray(rng.integers(0, 2, size=(batch, hw, hw, 1)).astype(np.float32)),
+                mk(), mk(), jnp.ones(batch, jnp.float32), 1e-3, 1e-5)
+        sstate, dstate, m = steps.adversarial(sstate, dstate, gstate, *args)
+        float(m["s_loss"])
+        n = 20
+        t1 = time.perf_counter()
+        for _ in range(n):
+            sstate, dstate, m = steps.adversarial(sstate, dstate, gstate, *args)
+        float(m["s_loss"])
+        step_mpx = 2 * batch * hw * hw * n / (time.perf_counter() - t1) / 1e6
+
+    # both pair sides train each step (changed + unchanged)
+    px_per_epoch = 2 * total * hw * hw
+    _driver_result("wsss_driver_adversarial_epochs_per_s", epochs, dt,
+                   px_per_epoch, budget, len(pair_loader), step_mpx,
+                   extra={"pairs_per_epoch": total,
+                          "feed": "slice_cache" if whu_cache is not None
+                          else "host"})
+
+
+def bench_rsss_driver(epochs: int = 3, scene_px: int = 1024):
+    """RSSS end-to-end adversarial-phase driver headline (VERDICT r3 task 4):
+    loader + placement + adversarial step + on-device metrics, epochs/s over
+    synthetic OSCD scenes at the production config (Demo_RSSS.py:244-447 hot
+    loop without the per-epoch test eval; bs 12, 4 bands, 200 px tiles)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fcdgan_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    from fcdgan_tpu.data.datasets import OSCDDataset, ScenePairDataset
+    from fcdgan_tpu.data.device_cache import DeviceOSCDCache
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.pipeline import prefetch
+    from fcdgan_tpu.data.stats import dataset_meanstd
+    from fcdgan_tpu.data.synthetic import make_oscd_dataset
+    from fcdgan_tpu.models import Discriminator, Generator, Segmentor
+    from fcdgan_tpu.models.vgg import load_vgg16_params, select_feature_layers
+    from fcdgan_tpu.train import schedules
+    from fcdgan_tpu.train.loops import DeferredEpochEnd, EpochAverages
+    from fcdgan_tpu.train.optim import rmsprop
+    from fcdgan_tpu.train.state import create_net_state
+    from fcdgan_tpu.train.steps import PerceptionConfig, RSSSSteps
+
+    batch, nband, hw = 12, 4, 200
+    with tempfile.TemporaryDirectory() as td:
+        make_oscd_dataset(td, train_scenes=("alpha", "beta"), test_scenes=(),
+                          xsize=scene_px, ysize=scene_px, nband=nband)
+        # per-scene normalizers from the statsMS caches (demo_rsss._scene_scalers)
+        from fcdgan_tpu.demos.demo_rsss import _scene_scalers
+
+        scalers = _scene_scalers(td, "train.txt", (hw, hw), "statsMS")
+        dataset = OSCDDataset(td, "train.txt", scaler=scalers,
+                              patch_size=(hw, hw), overlap_padding=(10, 10))
+        total = len(dataset)
+
+        feed = os.environ.get("FCDGAN_DRIVER_FEED", "cache")
+        train_cache = None
+        if feed == "cache" and DeviceOSCDCache.supports(dataset):
+            train_cache = DeviceOSCDCache(dataset)
+            loader = train_cache.loader(batch, dataset, shuffle=True, seed=1,
+                                        tail=os.environ.get("FCDGAN_TAIL", "short"))
+        else:
+            try:
+                from fcdgan_tpu.data.pipeline import NativeOSCDBatchLoader
+
+                loader = NativeOSCDBatchLoader(dataset, batch, shuffle=True,
+                                               seed=1)
+            except Exception:
+                from fcdgan_tpu.data.pipeline import BatchLoader
+
+                loader = BatchLoader(dataset, batch,
+                                     fields=("x", "y", "item", "ref", "region"),
+                                     shuffle=True, seed=1,
+                                     tail=os.environ.get("FCDGAN_TAIL", "short"))
+
+        dtype = (jnp.bfloat16
+                 if os.environ.get("FCDGAN_BENCH_DTYPE", "bfloat16") == "bfloat16"
+                 else None)
+        net_g = Generator(nband, dtype=dtype)
+        net_s = Segmentor(nband, bilinear=True, dtype=dtype)
+        net_d = Discriminator(nband, dtype=dtype)
+        tx_g, tx_s, tx_d = rmsprop(), rmsprop(), rmsprop()
+        steps = RSSSSteps(
+            net_g, net_s, net_d, tx_g, tx_s, tx_d, load_vgg16_params(),
+            PerceptionConfig(select_feature_layers(1), per_band=True,
+                             dtype="bfloat16" if dtype is not None else None),
+            perception_weight=0.1, ssim_weight=0.0, g_weight=0.5,
+            l1_weight=0.02, d_weight=1.0, r_weight=2.0,
+            interior_sizes=dataset.interior_sizes(), pad=(10, 10),
+        )
+        key = jax.random.PRNGKey(0)
+        zx = jnp.zeros((1, hw, hw, nband), jnp.float32)
+        gstate = create_net_state(net_g, key, (zx,), tx_g)
+        sstate = create_net_state(net_s, jax.random.fold_in(key, 1), (zx, zx), tx_s)
+        dstate = create_net_state(net_d, jax.random.fold_in(key, 2), (zx, zx), tx_d)
+
+        from fcdgan_tpu.parallel.mesh import shard_batch
+
+        def put_train(b):
+            return (train_cache.complete(b) if train_cache is not None
+                    else shard_batch(b, None))
+
+        budget = {"load_s": 0.0, "put_s": 0.0, "dispatch_s": 0.0,
+                  "epoch_sync_s": 0.0}
+        deferred = DeferredEpochEnd(enabled=True)
+        sink = []
+
+        def epoch(i, timed=False):
+            nonlocal sstate, dstate
+            lr_s = schedules.S_ADV_RSSS(i)
+            lr_d = schedules.D_ADV_RSSS(i)
+            av = EpochAverages(total)
+            it = prefetch(iter(loader), 2)
+            while True:
+                t0 = time.perf_counter()
+                b = next(it, None)
+                if b is None:
+                    break
+                t1 = time.perf_counter()
+                db = put_train(b)
+                t2 = time.perf_counter()
+                sstate, dstate, m = steps.adversarial(
+                    sstate, dstate, gstate, db["x"], db["y"], db["ref"],
+                    db["region"], db["item"], db["weight"], lr_s, lr_d)
+                av.update(m, float(np.asarray(b["weight"]).sum()))
+                t3 = time.perf_counter()
+                if timed:
+                    budget["load_s"] += t1 - t0
+                    budget["put_s"] += t2 - t1
+                    budget["dispatch_s"] += t3 - t2
+            ts = time.perf_counter()
+            deferred.schedule(av, lambda av=av: sink.append(av["s_loss"]))
+            if timed:
+                budget["epoch_sync_s"] += time.perf_counter() - ts
+
+        gstate, sstate, dstate = map(jax.device_put, (gstate, sstate, dstate))
+        epoch(0)
+        deferred.flush()
+        t0 = time.perf_counter()
+        for i in range(epochs):
+            epoch(i + 1, timed=True)
+        ts = time.perf_counter()
+        deferred.flush()
+        budget["epoch_sync_s"] += time.perf_counter() - ts
+        dt = time.perf_counter() - t0
+
+        # device-resident step-only rate for driver_frac_of_step
+        rng = np.random.default_rng(0)
+        mk = lambda: jnp.asarray(rng.normal(size=(batch, hw, hw, nband)).astype(np.float32))
+        args = (mk(), mk(),
+                jnp.asarray(rng.integers(1, 3, size=(batch, hw, hw, 1)).astype(np.float32)),
+                jnp.asarray(rng.integers(0, 2, size=(batch, hw, hw, 1)).astype(np.float32)),
+                jnp.arange(batch, dtype=jnp.int32), jnp.ones(batch, jnp.float32),
+                5e-5, 5e-5)
+        sstate, dstate, m = steps.adversarial(sstate, dstate, gstate, *args)
+        float(m["s_loss"])
+        n = 20
+        t1 = time.perf_counter()
+        for _ in range(n):
+            sstate, dstate, m = steps.adversarial(sstate, dstate, gstate, *args)
+        float(m["s_loss"])
+        step_mpx = batch * hw * hw * n / (time.perf_counter() - t1) / 1e6
+
+    px_per_epoch = total * hw * hw
+    _driver_result("rsss_driver_adversarial_epochs_per_s", epochs, dt,
+                   px_per_epoch, budget, len(loader), step_mpx,
+                   extra={"tiles_per_epoch": total, "scene_px": scene_px,
+                          "feed": "tile_cache" if train_cache is not None
+                          else "host"})
+
+
 def bench_batch_sweep():
     """Single-chip batch sweep: Mpx/s at bs 10..80 (bounds DP efficiency
     analytically — a v5e-8 running global batch 80 is 8 chips at bs 10)."""
@@ -812,6 +1173,10 @@ if __name__ == "__main__":
                     help="WSSS adversarial-step throughput (production config)")
     ap.add_argument("--rsss", action="store_true",
                     help="RSSS adversarial-step throughput (production config)")
+    ap.add_argument("--wsss-driver", action="store_true",
+                    help="WSSS end-to-end adversarial-phase epochs/s")
+    ap.add_argument("--rsss-driver", action="store_true",
+                    help="RSSS end-to-end adversarial-phase epochs/s")
     ap.add_argument("--batch-sweep", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=0)
@@ -833,6 +1198,10 @@ if __name__ == "__main__":
         bench_wsss()
     elif args.rsss:
         bench_rsss()
+    elif args.wsss_driver:
+        bench_wsss_driver(args.epochs)
+    elif args.rsss_driver:
+        bench_rsss_driver(args.epochs)
     elif args.batch_sweep:
         bench_batch_sweep()
     elif args.scaling:

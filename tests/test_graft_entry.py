@@ -19,4 +19,16 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip_8_devices():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(8, modes=("usss",))
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_adversarial_modes():
+    """The WSSS/RSSS sharded adversarial steps (D/S alternation, frozen-G,
+    synthesized unchanged pair) compile + execute on the virtual mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8, modes=("wsss", "rsss"))
