@@ -13,6 +13,13 @@ with a reduced but representative schedule, comparing final stitched F1.
 
 Usage: python experiments/batch_scale_ab.py [out.json] [--platform cpu]
                                             [--epochs eg es ej]
+                                            [--configs bs:lrx,bs:lrx,...]
+
+VERDICT r3 task 5 (full reference schedule, naive bs40 point skipped —
+already shown to collapse at the short schedule):
+    python experiments/batch_scale_ab.py \
+        experiments/results/batch_scale_full.json \
+        --epochs 50 50 100 --configs 10:1,40:4
 """
 
 import json
@@ -58,6 +65,13 @@ def main():
         i = args.index("--epochs")
         epochs = tuple(int(v) for v in args[i + 1:i + 4])
         del args[i:i + 4]
+    configs = ((10, 1.0), (40, 1.0), (40, 4.0))
+    if "--configs" in args:
+        i = args.index("--configs")
+        configs = tuple(
+            (int(c.split(":")[0]), float(c.split(":")[1]))
+            for c in args[i + 1].split(","))
+        del args[i:i + 2]
     if args:
         out_json = args[0]
 
@@ -67,7 +81,7 @@ def main():
     make_usss_scene(scene, 1024, 1024, 3, dtype="uint16", seed=17)
 
     results = []
-    for bs, lrx in ((10, 1.0), (40, 1.0), (40, 4.0)):
+    for bs, lrx in configs:
         r = run_one(scene, os.path.join(scene, f"out_bs{bs}_lrx{lrx:g}"),
                     bs, lrx, epochs, platform)
         print(json.dumps(r))
