@@ -51,6 +51,29 @@ _WINDOW_RUN = None  # multi-scene case) share ONE compiled program instead of
 #                     hits across runs (constants no longer baked per scene)
 
 
+_SPLIT_SLAB = None
+
+
+def _split_slab(packed, cx: int, cy: int, cr: int):
+    """Split a channel-packed slab upload back into (px, py, pref) on device
+    (one fused dispatch; pref is None when the dataset has no reference)."""
+    global _SPLIT_SLAB
+    if _SPLIT_SLAB is None:
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+        def split(p, cx, cy, cr):
+            px = p[..., :cx]
+            py = p[..., cx:cx + cy]
+            pref = p[..., cx + cy:cx + cy + cr] if cr else None
+            return px, py, pref
+
+        _SPLIT_SLAB = split
+    return _SPLIT_SLAB(packed, cx, cy, cr)
+
+
 def _scene_jits():
     global _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN
     if _SCENE_PREP is not None:
@@ -526,19 +549,45 @@ class DeviceSceneWindowCache:
 
     # -- slab geometry -------------------------------------------------------
     @staticmethod
-    def _bytes_per_row(dataset) -> int:
+    def _slab_dtypes(dataset):
+        """Per-raster slab buffer dtypes (wide dtypes downcast to f32; ref
+        keeps small-int, else f32) — the resident-buffer dtype rules."""
+        def wide(r):
+            dt = np.dtype(r.dtype)
+            return dt if dt.itemsize <= 4 else np.dtype(np.float32)
+
+        dts = [wide(dataset.raster_x), wide(dataset.raster_y)]
+        rr = dataset.raster_ref
+        if rr is not None:
+            dts.append(np.dtype(rr.dtype)
+                       if np.issubdtype(rr.dtype, np.integer)
+                       and rr.dtype.itemsize <= 2 else np.dtype(np.float32))
+        return dts
+
+    @classmethod
+    def _pack_dtype(cls, dataset):
+        """Common dtype for the one-put packed slab upload, or None when no
+        single dtype holds every raster exactly (then 3 separate puts)."""
+        dts = cls._slab_dtypes(dataset)
+        packed = np.result_type(*dts)
+        if (np.dtype(packed).itemsize <= 4
+                and all(np.can_cast(dt, packed, "safe") for dt in dts)):
+            return np.dtype(packed)
+        return None
+
+    @classmethod
+    def _bytes_per_row(cls, dataset) -> int:
         """Host/HBM bytes per padded scene row across x, y and ref, using the
-        same dtype resolution as the resident buffers."""
+        same dtype resolution as the resident buffers (the packed common
+        dtype when the one-put upload applies)."""
         _, wp = dataset.grid.padded_shape()
+        pack = cls._pack_dtype(dataset)
+        rasters = [r for r in (dataset.raster_x, dataset.raster_y,
+                               dataset.raster_ref) if r is not None]
+        dts = cls._slab_dtypes(dataset)
         total = 0
-        for r in (dataset.raster_x, dataset.raster_y, dataset.raster_ref):
-            if r is None:
-                continue
-            itemsize = r.dtype.itemsize if r.dtype.itemsize <= 4 else 4
-            if r is dataset.raster_ref:
-                itemsize = (r.dtype.itemsize
-                            if np.issubdtype(r.dtype, np.integer)
-                            and r.dtype.itemsize <= 2 else 4)
+        for r, dt in zip(rasters, dts):
+            itemsize = pack.itemsize if pack is not None else dt.itemsize
             total += wp * r.nband * itemsize
         return total
 
@@ -551,14 +600,17 @@ class DeviceSceneWindowCache:
 
     @classmethod
     def _plan_rows(cls, dataset) -> int:
-        """Max tile rows per slab such that TWO slabs fit the budget."""
+        """Max tile rows per slab within the in-flight budget: two slabs
+        resident, plus one transient packed upload buffer when the one-put
+        path applies (freed right after the on-device channel split)."""
         grid = dataset.grid
         ph = grid.canvas_shape()[0]
         stride = ph - 2 * grid.overlap_padding[1]
         per_row = cls._bytes_per_row(dataset)
-        half = cls._budget_bytes() / 2
+        slots = 3 if cls._pack_dtype(dataset) is not None else 2
+        share = cls._budget_bytes() / slots
         ny = len(grid.ystarts)
-        rows = int((half / max(per_row, 1) - ph) // stride) + 1
+        rows = int((share / max(per_row, 1) - ph) // stride) + 1
         return max(0, min(rows, ny))
 
     @staticmethod
@@ -602,31 +654,56 @@ class DeviceSceneWindowCache:
     # -- slab IO (worker thread) ----------------------------------------------
     def _load_slab(self, k: int) -> tuple:
         """Read slab k's raw scene rows, zero-pad horizontally, upload.
-        Returns (px, py, pref, row0) device buffers."""
+        Returns (px, py, pref, row0) device buffers.
+
+        When one dtype holds every raster exactly (``_pack_dtype``), the
+        three planes ride ONE channel-packed host buffer and ONE device_put,
+        split back on device in a single fused dispatch — on high-latency
+        links (the axon relay pays a fixed ~35 ms round trip per transfer)
+        this cuts the per-slab upload from 3 RPCs to 1 and narrows the
+        window in which an upload can serialize against the compute stream
+        (round-4 finding: driver_window_2048 rep spread 1.7-3.1 Mpx/s came
+        from slab-put/compute serialization, ab_round4.jsonl)."""
         ph, pw, padx, pady, wp = self._geom
         hs, ws = self._scene_hw
         ys = self._grid.ystarts
         p0 = ys[self._slab_r0[k]]  # first padded row of the slab
+        s0 = max(p0 - pady, 0)
+        s1 = min(p0 - pady + self._slab_h, hs)
+        dest = s0 - (p0 - pady)
+
+        def fill(host, raster):
+            if s1 > s0:
+                block = raster.read_block(0, s0, ws, s1 - s0)
+                host[dest:dest + (s1 - s0), padx:padx + ws] = block
+
+        ds = self._dataset
+        rasters = [ds.raster_x, ds.raster_y] + (
+            [ds.raster_ref] if ds.raster_ref is not None else [])
+        pack = self._pack_dtype(ds)
+        if pack is not None:
+            cs = [r.nband for r in rasters]
+            host = np.zeros((self._slab_h, wp, sum(cs)), pack)
+            off = 0
+            for r, c in zip(rasters, cs):
+                fill(host[..., off:off + c], r)
+                off += c
+            packed = self._put(host)
+            px, py, pref = _split_slab(packed, cs[0], cs[1],
+                                       cs[2] if len(cs) > 2 else 0)
+            del packed  # transient: budget plans 3 slab slots (see _plan_rows)
+            return (px, py, pref, np.int32(p0))
+
+        dts = self._slab_dtypes(ds)
 
         def read(raster, dtype):
             host = np.zeros((self._slab_h, wp, raster.nband), dtype)
-            s0 = max(p0 - pady, 0)
-            s1 = min(p0 - pady + self._slab_h, hs)
-            if s1 > s0:
-                dest = s0 - (p0 - pady)
-                block = raster.read_block(0, s0, ws, s1 - s0)
-                host[dest:dest + (s1 - s0), padx:padx + ws] = block
+            fill(host, raster)
             return self._put(host)
 
-        ds = self._dataset
-
-        def slab_dtype(r):
-            dt = np.dtype(r.dtype)
-            return dt if dt.itemsize <= 4 else np.dtype(np.float32)
-
-        px = read(ds.raster_x, slab_dtype(ds.raster_x))
-        py = read(ds.raster_y, slab_dtype(ds.raster_y))
-        pref = (read(ds.raster_ref, self._ref_dtype)
+        px = read(ds.raster_x, dts[0])
+        py = read(ds.raster_y, dts[1])
+        pref = (read(ds.raster_ref, dts[2])
                 if ds.raster_ref is not None else None)
         return (px, py, pref, np.int32(p0))
 
