@@ -31,22 +31,26 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 
 
-def run_one(scene_dir, outdir, bs, lr_scale, epochs, platform):
+def run_one(scene_dir, outdir, bs, lr_scale, epochs, platform, seed=0,
+            lr_epoch_scale=1.0):
     from fcdgan_tpu.config import USSSConfig
     from fcdgan_tpu.demos import demo_usss
 
     eg, es, ej = epochs
     cfg = USSSConfig(
-        dir=scene_dir, outdir=outdir, ext=f"_bs{bs}_lrx{lr_scale:g}",
+        dir=scene_dir, outdir=outdir,
+        ext=f"_bs{bs}_lrx{lr_scale:g}_es{lr_epoch_scale:g}_s{seed}",
         init_num_epochs_g=eg, init_num_epochs_s=es, num_epochs=ej,
-        batch_size=bs, lr_scale=lr_scale, platform=platform,
+        batch_size=bs, lr_scale=lr_scale, platform=platform, seed=seed,
+        lr_epoch_scale=lr_epoch_scale,
         compute_dtype="bfloat16", log_tensorboard=False, progress=False,
     )
     t0 = time.time()
     res = demo_usss.run(cfg)
     ev = res["evaluator"]
     miou, ciou = ev.Mean_Intersection_over_Union()
-    return dict(bs=bs, lr_scale=lr_scale, wall_s=round(time.time() - t0, 1),
+    return dict(bs=bs, lr_scale=lr_scale, lr_epoch_scale=lr_epoch_scale,
+                seed=seed, wall_s=round(time.time() - t0, 1),
                 f1=float(ev.Pixel_F1_score()), kappa=float(ev.Pixel_Kappa()),
                 oa=float(ev.Pixel_Accuracy()), ciou=float(ciou),
                 auc=float(res["auc"]))
@@ -65,12 +69,19 @@ def main():
         i = args.index("--epochs")
         epochs = tuple(int(v) for v in args[i + 1:i + 4])
         del args[i:i + 4]
-    configs = ((10, 1.0), (40, 1.0), (40, 4.0))
+    configs = ((10, 1.0, 1.0), (40, 1.0, 1.0), (40, 4.0, 1.0))
     if "--configs" in args:
         i = args.index("--configs")
+        # bs:lr_scale[:lr_epoch_scale]
         configs = tuple(
-            (int(c.split(":")[0]), float(c.split(":")[1]))
+            tuple(float(v) for v in (c.split(":") + ["1"])[:3])
             for c in args[i + 1].split(","))
+        configs = tuple((int(b), x, e) for b, x, e in configs)
+        del args[i:i + 2]
+    seed = 0
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
         del args[i:i + 2]
     if args:
         out_json = args[0]
@@ -81,9 +92,10 @@ def main():
     make_usss_scene(scene, 1024, 1024, 3, dtype="uint16", seed=17)
 
     results = []
-    for bs, lrx in configs:
-        r = run_one(scene, os.path.join(scene, f"out_bs{bs}_lrx{lrx:g}"),
-                    bs, lrx, epochs, platform)
+    for bs, lrx, esc in configs:
+        r = run_one(scene,
+                    os.path.join(scene, f"out_bs{bs}_lrx{lrx:g}_es{esc:g}_s{seed}"),
+                    bs, lrx, epochs, platform, seed=seed, lr_epoch_scale=esc)
         print(json.dumps(r))
         results.append(r)
 

@@ -37,6 +37,12 @@ class USSSConfig:
     # (e.g. 4.0 when raising --batch-size 10 -> 40; see BASELINE.md
     # batch sweep and the bs40 accuracy A/B)
     lr_scale: float = 1.0
+    # large-batch schedule clock: every phase evaluates its per-epoch LR
+    # curve at epoch/lr_epoch_scale, stretching warm-up/decay by this factor
+    # in epoch units — at k-fold larger batch each epoch has k-fold fewer
+    # updates, so the reference-shaped curve otherwise decays k-fold faster
+    # per UPDATE (see experiments/batch_scale_ab.py; 1.0 = reference parity)
+    lr_epoch_scale: float = 1.0
 
     perception_weight: float = 0.4
     l1_weight: float = 0.65
@@ -114,6 +120,12 @@ class WSSSConfig:
     # (e.g. 4.0 when raising --batch-size 10 -> 40; see BASELINE.md
     # batch sweep and the bs40 accuracy A/B)
     lr_scale: float = 1.0
+    # large-batch schedule clock: every phase evaluates its per-epoch LR
+    # curve at epoch/lr_epoch_scale, stretching warm-up/decay by this factor
+    # in epoch units — at k-fold larger batch each epoch has k-fold fewer
+    # updates, so the reference-shaped curve otherwise decays k-fold faster
+    # per UPDATE (see experiments/batch_scale_ab.py; 1.0 = reference parity)
+    lr_epoch_scale: float = 1.0
     prob_thresh: float = 0.6
     tips: str = "train"
 
@@ -199,6 +211,12 @@ class RSSSConfig:
     # (e.g. 4.0 when raising --batch-size 10 -> 40; see BASELINE.md
     # batch sweep and the bs40 accuracy A/B)
     lr_scale: float = 1.0
+    # large-batch schedule clock: every phase evaluates its per-epoch LR
+    # curve at epoch/lr_epoch_scale, stretching warm-up/decay by this factor
+    # in epoch units — at k-fold larger batch each epoch has k-fold fewer
+    # updates, so the reference-shaped curve otherwise decays k-fold faster
+    # per UPDATE (see experiments/batch_scale_ab.py; 1.0 = reference parity)
+    lr_epoch_scale: float = 1.0
 
     patch_size: Tuple[int, int] = (200, 200)
     overlap_padding: Tuple[int, int] = (10, 10)

@@ -196,7 +196,7 @@ def run(cfg: RSSSConfig) -> Dict:
     # -- phase 1: G pretrain with region masks (Demo_RSSS.py:173-238) --------
     print("Start Generator Training")
     for i in range(starts["g"], init_epochs_g):
-        lr = schedules.G_PRETRAIN(i) * cfg.lr_scale
+        lr = schedules.G_PRETRAIN(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: init_epochs_g - 1 - i, cfg.progress)
         for batch in prefetch(iter(init_loader), cfg.prefetch_depth):
@@ -233,8 +233,8 @@ def run(cfg: RSSSConfig) -> Dict:
     print("Start Adversarial Training")
     results_last_test = None
     for i in range(starts["adv"], cfg.num_epochs):
-        lr_s = schedules.S_ADV_RSSS(i) * cfg.lr_scale
-        lr_d = schedules.D_ADV_RSSS(i) * cfg.lr_scale
+        lr_s = schedules.S_ADV_RSSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
+        lr_d = schedules.D_ADV_RSSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
         for batch in prefetch(iter(train_loader), cfg.prefetch_depth):

@@ -212,7 +212,7 @@ def run(cfg: USSSConfig) -> Dict:
     # -- phase 1: generator init (Demo_USSS.py:124-189) ---------------------
     print("Start Initial Generator Training")
     for i in range(starts["g"], cfg.init_num_epochs_g):
-        lr = schedules.G_PRETRAIN(i) * cfg.lr_scale
+        lr = schedules.G_PRETRAIN(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.init_num_epochs_g - 1 - i, cfg.progress)
         for batch in prefetch(iter(loader), cfg.prefetch_depth):
@@ -242,7 +242,7 @@ def run(cfg: USSSConfig) -> Dict:
     deferred.flush()
     print("Start Initial Segmentor Training")
     for i in range(starts["s"], cfg.init_num_epochs_s):
-        lr = schedules.S_INIT_USSS(i) * cfg.lr_scale
+        lr = schedules.S_INIT_USSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.init_num_epochs_s - 1 - i, cfg.progress)
         for batch in prefetch(iter(loader), cfg.prefetch_depth):
@@ -278,8 +278,8 @@ def run(cfg: USSSConfig) -> Dict:
     deferred.flush()
     print("Start Training")
     for i in range(starts["joint"], cfg.num_epochs):
-        lr_s = schedules.JOINT_USSS(i) * cfg.lr_scale
-        lr_g = schedules.JOINT_USSS(i) * cfg.lr_scale
+        lr_s = schedules.JOINT_USSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
+        lr_g = schedules.JOINT_USSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
         for batch in prefetch(iter(loader), cfg.prefetch_depth):

@@ -206,7 +206,7 @@ def run(cfg: WSSSConfig) -> Dict:
     # -- phase 1: G pretrain on unchanged pairs (Demo_WSSS.py:140-204) -------
     print("Start Generator Training")
     for i in range(starts["g"], init_epochs_g):
-        lr = schedules.G_PRETRAIN(i) * cfg.lr_scale
+        lr = schedules.G_PRETRAIN(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total_unc)
         prog = Progress(total_unc, lambda: init_epochs_g - 1 - i, cfg.progress)
         for batch in prefetch(iter(unc_loader), cfg.prefetch_depth):
@@ -242,8 +242,8 @@ def run(cfg: WSSSConfig) -> Dict:
     print("Start Adversarial Training")
     adv_keys = ("d_loss", "g_loss", "s_loss", "l1_loss", "nc_loss", "s_d_loss")
     for i in range(starts["adv"], cfg.num_epochs):
-        lr_s = schedules.S_ADV_WSSS(i) * cfg.lr_scale
-        lr_d = schedules.D_ADV_WSSS(i) * cfg.lr_scale
+        lr_s = schedules.S_ADV_WSSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
+        lr_d = schedules.D_ADV_WSSS(i / cfg.lr_epoch_scale) * cfg.lr_scale
         av = EpochAverages(total)
         prog = Progress(total, lambda: cfg.num_epochs - 1 - i, cfg.progress)
         for batch in prefetch(iter(pair_loader), cfg.prefetch_depth):

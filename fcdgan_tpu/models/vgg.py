@@ -63,8 +63,21 @@ def _phase_pool_exit(h: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _ppe_primal(h):
+    """Forward values; FCDGAN_PHASE_POOL=pallas routes the fused kernel
+    (ops/pallas/phase_pool.py) where it applies — identical values."""
+    if os.environ.get("FCDGAN_PHASE_POOL") == "pallas":
+        from ..ops.pallas.phase_pool import (
+            phase_pool_forward, use_pallas_phase_pool,
+        )
+
+        if use_pallas_phase_pool(h.shape, h.dtype):
+            return phase_pool_forward(h)
+    return _phase_pool_exit(h)
+
+
 def _ppe_fwd(h):
-    return _phase_pool_exit(h), h
+    return _ppe_primal(h), h
 
 
 def _ppe_bwd(h, dy):
@@ -75,6 +88,15 @@ def _ppe_bwd(h, dy):
     # block-1 shape; this form fuses to ~2 passes near HBM bandwidth).
     # Measured joint step on v5e (experiments/step_time.py, 3 reps each,
     # spread <0.2 ms): 134.3 -> 132.2 ms/step, 3.60 -> 3.66 Mpx/s.
+    #
+    # Round-4 trace truth: XLA still splits this into 2-3 fusions that
+    # materialize the bool masks between them (pred tensors tile as
+    # T(8,128)(4,1)), and each fusion runs at only ~312 GB/s — ~4.5 ms
+    # total vs the ~1 ms single-pass bound. FCDGAN_PPE_BWD=mul is the
+    # measured-variant switch: identical routing with bf16 0/1 masks and
+    # multiply-routing instead of preds+selects (see _ppe_bwd_mul).
+    if os.environ.get("FCDGAN_PPE_BWD") == "mul":
+        return _ppe_bwd_mul(h, dy)
     c = h.shape[-1] // 2
     a, b = h[..., :c], h[..., c:]
     psel = a >= b
@@ -95,6 +117,37 @@ def _ppe_bwd(h, dy):
         [jnp.where(psel, dm, 0), jnp.where(psel, 0, dm)], axis=-1
     ).astype(h.dtype)
     return (dh,)
+
+
+def _ppe_bwd_mul(h, dy):
+    """Same routing as _ppe_bwd, all-arithmetic: the selectors are 0/1
+    masks in the compute dtype and the gradient is routed by multiplication.
+
+    EXACT for every routed value: a*1 + b*0 == a bitwise, dy*1 == dy, and
+    the unrouted positions are dy*0 == 0 (dy is finite — it is a mean-MSE
+    cotangent). The point is the lowering: no pred intermediates between
+    fusions (bf16 tiles as (8,128)(2,1) instead of pred's (4,1))."""
+    c = h.shape[-1] // 2
+    a, b = h[..., :c], h[..., c:]
+    one = jnp.ones((), h.dtype)
+    zero = jnp.zeros((), h.dtype)
+    sa = jnp.where(a >= b, one, zero)          # W-phase first-wins, 0/1
+    m = a * sa + b * (one - sa)                # == where(a>=b, a, b) exactly
+    n, hh, w, _ = m.shape
+    h2 = hh // 2
+    m2 = m[:, : 2 * h2].reshape(n, h2, 2, w, c)
+    st = jnp.where(m2[:, :, 0] >= m2[:, :, 1], one, zero)  # H first-wins 0/1
+    st_full = jnp.repeat(st, 2, axis=1)
+    dy_full = jnp.repeat(dy.astype(h.dtype), 2, axis=1)
+    ev = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * h2, 1, 1), 1) % 2) == 0,
+        one, zero)
+    gate = st_full * ev + (one - st_full) * (one - ev)  # 1 iff routed here
+    dm = dy_full * gate
+    if 2 * h2 != hh:
+        dm = jnp.pad(dm, ((0, 0), (0, hh - 2 * h2), (0, 0), (0, 0)))
+    dh = jnp.concatenate([dm * sa, dm * (one - sa)], axis=-1)
+    return (dh.astype(h.dtype),)
 
 
 _phase_pool_exit.defvjp(_ppe_fwd, _ppe_bwd)

@@ -35,3 +35,17 @@ def test_presets_match_reference_constants():
     assert G_PRETRAIN(10) == pytest.approx(3e-4)
     assert JOINT_USSS(0) == pytest.approx(1e-5)
     assert JOINT_USSS(19) == pytest.approx(1e-5 + (1e-4 - 1e-5) / 20 * 19)
+
+
+def test_fractional_epoch_clock():
+    """lr_epoch_scale feeds fractional epochs: the curve must interpolate
+    smoothly (demos call schedule(i / cfg.lr_epoch_scale))."""
+    s = WarmupSustainDecay(lr_start=1e-5, lr_max=3e-4, warmup_epochs=10,
+                           sustain_epochs=10)
+    # scale 1.0 is exact reference parity (i / 1.0 == i)
+    for i in range(40):
+        assert s(i / 1.0) == s(i)
+    # stretched clock: epoch 40 at scale 4 sits where epoch 10 did
+    assert s(40 / 4.0) == pytest.approx(s(10))
+    # warm-up midpoint interpolates linearly
+    assert s(2.5) == pytest.approx(1e-5 + (3e-4 - 1e-5) / 10 * 2.5)
