@@ -779,10 +779,29 @@ class DeviceSceneWindowCache:
 
         Each slab runs ONE device program (gather + infer + interior stitch
         into a slab canvas — same semantics as the resident cache's fused
-        stitcher, reference parity data_utils.py:178-213); its download and
-        the next slab's upload overlap the next slab's compute. Chunk lists
-        are wrap-padded to a fixed shape so every slab shares one compiled
-        program (duplicate tiles re-write identical interiors)."""
+        stitcher, reference parity data_utils.py:178-213). Slab canvas
+        downloads drain on a WRITER THREAD (depth 1) so the main loop goes
+        straight from dispatching slab k to waiting on slab k+1's background
+        upload — uploads, device compute, and downloads all overlap. Round-4
+        profile truth (experiments/window_serve_profile.py /
+        window_prog_bench.py, 2048px scene forced to 6 slabs on the relay):
+        the slab program itself is FAST (~105 ms for a 30-tile slab — the
+        same per-chunk cost as the whole-scene fused program); the shipped
+        main-thread resolve serialized the pipeline (0.22 Mpx/s) and an
+        explicit ``copy_to_host_async`` after dispatch re-triggered the
+        known relay pathology (one rep: a 155 s blocked download — same
+        signature DeferredEpochEnd documents). Draining downloads off-loop
+        measured 0.45-0.54 Mpx/s — the residual wall is the fresh-scene slab
+        uploads themselves (~12.5 raw bytes/px through a ~8 MB/s measured
+        link), which any out-of-core serving of a new scene must pay once.
+
+        Chunk lists are wrap-padded to a fixed shape so every slab shares
+        one compiled program (duplicate tiles re-write identical interiors).
+        Queue depth 1 bounds live slabs to ~3 (downloading / computing /
+        uploading), matching the 3-slot window budget of ``_plan_rows``."""
+        import queue as _queue
+        import threading
+
         import jax.numpy as jnp
 
         _scene_jits()
@@ -800,35 +819,50 @@ class DeviceSceneWindowCache:
         max_chunks = max(-(-n // bs) for n in self.slab_sizes)
         host_dt = np.uint8 if density_dtype == "uint8" else np.float32
         out = np.zeros((hs, ws), host_dt)
-        pending = None  # (dev, y0, rows)
 
-        def resolve(p):
-            dev, y0, rows = p
-            host = np.asarray(dev)
-            out[y0:y0 + rows] = host[:rows, :ws]
+        q: "_queue.Queue" = _queue.Queue(maxsize=1)
+        sentinel = object()
+        err = []
 
-        for k in range(self.n_slabs):
-            self._ensure(k)
-            if k + 1 < self.n_slabs:
-                self._ensure(k + 1)
-            self._advance_to(k)
-            px, py, pref, row0 = self._resident[k]
-            items = self.slab_items(k)
-            idxs = np.resize(items.astype(np.int32), max_chunks * bs)
-            idxs = idxs.reshape(max_chunks, bs)
-            dev = run_win(infer_fn, geom, density_dtype, jnp.asarray(idxs),
-                          px, py, pref, self._origins, self._wins,
-                          self._norm, sstate, jnp.int32(int(row0)))
-            try:
-                dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            if pending is not None:
-                resolve(pending)
-            y0 = ys[self._slab_r0[k]]
-            pending = (dev, y0, min(out_h, hs - y0))
-        if pending is not None:
-            resolve(pending)
+        def writer():
+            while True:
+                job = q.get()
+                if job is sentinel:
+                    return
+                if err:
+                    continue  # drain unprocessed so the producer never blocks
+                try:
+                    dev, y0, rows = job
+                    host = np.asarray(dev)  # blocks on compute+download here
+                    out[y0:y0 + rows] = host[:rows, :ws]
+                except BaseException as e:  # noqa: BLE001
+                    err.append(e)
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        try:
+            for k in range(self.n_slabs):
+                if err:
+                    break
+                self._ensure(k)
+                if k + 1 < self.n_slabs:
+                    self._ensure(k + 1)
+                self._advance_to(k)
+                px, py, pref, row0 = self._resident[k]
+                items = self.slab_items(k)
+                idxs = np.resize(items.astype(np.int32), max_chunks * bs)
+                idxs = idxs.reshape(max_chunks, bs)
+                dev = run_win(infer_fn, geom, density_dtype,
+                              jnp.asarray(idxs), px, py, pref, self._origins,
+                              self._wins, self._norm, sstate,
+                              jnp.int32(int(row0)))
+                y0 = ys[self._slab_r0[k]]
+                q.put((dev, y0, min(out_h, hs - y0)))
+        finally:
+            q.put(sentinel)
+            wt.join()
+        if err:
+            raise err[0]
         if density_dtype == "uint8":
             return out.astype(np.float32) / 255.0
         return out.astype(np.float32)
