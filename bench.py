@@ -104,7 +104,13 @@ def bench_inference(density_dtype: str, scene_px: int = 1024):
         st.variables, x, y, train=False).astype(jnp.float32))
 
     with tempfile.TemporaryDirectory() as td:
-        paths = make_usss_scene(td, scene_px, scene_px, 3)
+        # uint16 scene: same realism choice as bench_driver — real
+        # Sentinel-2/aerial rasters are integral, and the serving paths'
+        # scene/slab/tile uploads are the measured bottleneck on this link,
+        # so raster dtype is part of the scenario (f32 doubles the bytes).
+        # FCDGAN_INFER_DTYPE=float32 benches the f32-raster fallback.
+        scene_dt = os.environ.get("FCDGAN_INFER_DTYPE", "uint16")
+        paths = make_usss_scene(td, scene_px, scene_px, 3, dtype=scene_dt)
 
         feed = os.environ.get("FCDGAN_INFER_FEED", "auto")
 

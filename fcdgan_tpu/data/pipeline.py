@@ -205,8 +205,8 @@ class NativeSceneBatchLoader(BatchLoader):
             n_threads=n_threads, **(dict() if device_normalize else kw))
         self.device_normalize = bool(device_normalize)
         if self.device_normalize:
-            if enhance is None or not kw:
-                raise ValueError("device_normalize requires a Normalize enhance")
+            # enhance None is fine: DeviceNormalizer falls back to the
+            # identity affine (raw tiles still want the on-device pad mask)
             code = self._asm.rx.dtype_code
             if code != self._asm.ry.dtype_code or code not in (0, 1, 2, 3, 4, 5):
                 raise ValueError(
@@ -227,14 +227,15 @@ class NativeSceneBatchLoader(BatchLoader):
     @staticmethod
     def supports_device_normalize(dataset) -> bool:
         """True when this dataset can ship raw tiles for on-device
-        normalization (native loader up, Normalize enhance, no transforms,
-        shared integral raster dtype)."""
+        normalization (native loader up, Normalize enhance or none, no
+        transforms, shared integral raster dtype)."""
         from .. import native
         from .normalize import Normalize
 
         if not native.native_available() or dataset.transforms is not None:
             return False
-        if not isinstance(dataset.enhance, Normalize):
+        if dataset.enhance is not None and not isinstance(dataset.enhance,
+                                                          Normalize):
             return False
         try:
             rx = native.NativeRaster(dataset.raster_x.path)
@@ -464,10 +465,14 @@ class DeviceNormalizer:
         import jax
         import jax.numpy as jnp
 
-        mx = np.asarray(normalize.meansX[:nband], np.float32)
-        sx = np.asarray(normalize.stdX[:nband], np.float32)
-        my = np.asarray(normalize.meansY[:nband], np.float32)
-        sy = np.asarray(normalize.stdY[:nband], np.float32)
+        if normalize is None:  # identity affine (dataset has no enhance)
+            mx = my = np.zeros(nband, np.float32)
+            sx = sy = np.ones(nband, np.float32)
+        else:
+            mx = np.asarray(normalize.meansX[:nband], np.float32)
+            sx = np.asarray(normalize.stdX[:nband], np.float32)
+            my = np.asarray(normalize.meansY[:nband], np.float32)
+            sy = np.asarray(normalize.stdY[:nband], np.float32)
 
         def prep(x_raw, y_raw, ref_raw, win):
             row = jax.lax.broadcasted_iota(jnp.int32, (1, x_raw.shape[1], 1, 1), 1)

@@ -236,11 +236,24 @@ def stitched_inference(
         if DeviceSceneCache.supports(dataset):
             cache = DeviceSceneCache(dataset, dataset.enhance)
             loader = cache.loader(batch_size, dataset, shuffle=False)
+    normalizer = None
     if loader is None and use_native:
         try:
-            from ..data.pipeline import NativeSceneBatchLoader
+            from ..data.pipeline import DeviceNormalizer, NativeSceneBatchLoader
 
-            loader = NativeSceneBatchLoader(dataset, batch_size, shuffle=False)
+            # ship RAW integral tiles + normalize on device when possible:
+            # the f32-tile upload is ~14.5 bytes/interior-px at the reference
+            # geometry and the host->device link is the measured streaming
+            # bottleneck (BASELINE.md); raw uint16 is 2.4x fewer bytes. Same
+            # path the drivers use for training (demo_usss.py device_normalize).
+            want_raw = (transfer_dtype is None
+                        and NativeSceneBatchLoader.supports_device_normalize(
+                            dataset))
+            loader = NativeSceneBatchLoader(dataset, batch_size, shuffle=False,
+                                            device_normalize=want_raw)
+            if want_raw:
+                normalizer = DeviceNormalizer(dataset.enhance,
+                                              dataset.raster_x.nband)
         except Exception:
             loader = None
     if loader is None:
@@ -257,6 +270,8 @@ def stitched_inference(
             db = cache.complete(batch)
         else:
             db = put(batch) if put is not None else batch
+            if normalizer is not None:
+                db = normalizer(db)  # raw tiles -> normalized f32 on device
         bx, by = db["x"], db["y"]
         if cache is None and transfer_dtype is not None:
             # halve host->device bytes; on low-bandwidth links (e.g. the axon

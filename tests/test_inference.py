@@ -57,6 +57,49 @@ def test_stitched_inference_matches_sequential(tmp_path):
         np.testing.assert_allclose(q, b, atol=atol)
 
 
+def test_stream_raw_upload_matches_host_path(tmp_path):
+    """Streaming stitched inference with raw integral tile uploads +
+    on-device normalization (the 2.4x-fewer-bytes path wired for the
+    host->device-bound serving fallback) produces the same raster as the
+    host-normalized f32 path — both with a Normalize enhance and with no
+    enhance at all (identity affine)."""
+    import pytest
+
+    from fcdgan_tpu.data.normalize import Normalize
+    from fcdgan_tpu.data.pipeline import NativeSceneBatchLoader
+
+    d = str(tmp_path / "s")
+    paths = make_usss_scene(d, 96, 80, 3, dtype=np.uint16)
+
+    model = Segmentor(3, bilinear=True)
+    zx = jnp.zeros((1, 48, 48, 3))
+    sstate = create_net_state(model, jax.random.PRNGKey(0), (zx, zx), adam())
+    infer = jax.jit(lambda st, x, y: model.apply(st.variables, x, y, train=False))
+
+    norm = Normalize([100.0, 101.0, 99.0], [30.0, 29.0, 31.0],
+                     [105.0, 104.0, 106.0], [31.0, 30.0, 32.0])
+    for name, enhance in (("norm", norm), ("none", None)):
+        probe = ScenePairDataset(paths["x"], paths["y"], enhance=enhance,
+                                 patch_size=(48, 48), overlap_padding=(4, 4))
+        if not NativeSceneBatchLoader.supports_device_normalize(probe):
+            pytest.skip("native loader unavailable")
+        out_raw = str(tmp_path / f"raw_{name}.tif")
+        ds_raw = ScenePairDataset(paths["x"], paths["y"], out_path=out_raw,
+                                  enhance=enhance, patch_size=(48, 48),
+                                  overlap_padding=(4, 4))
+        stitched_inference(ds_raw, infer, sstate, batch_size=4,
+                           device_feed="stream")  # raw + DeviceNormalizer
+        out_py = str(tmp_path / f"py_{name}.tif")
+        ds_py = ScenePairDataset(paths["x"], paths["y"], out_path=out_py,
+                                 enhance=enhance, patch_size=(48, 48),
+                                 overlap_padding=(4, 4))
+        stitched_inference(ds_py, infer, sstate, batch_size=4,
+                           device_feed="stream", use_native=False)
+        a = TiffReader(out_raw).read_block()
+        b = TiffReader(out_py).read_block()
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_run_overlapped_order_and_errors():
     from fcdgan_tpu.eval.inference import run_overlapped
 
