@@ -372,6 +372,18 @@ def bench_driver(scene_px: int = 1024, epochs: int = 3,
         "epoch_sync_ms": round(
             budget["epoch_sync_s"] / max(epochs, 1) * 1e3, 1),
     }
+    if feed_env == "window" and scene_cache is not None:
+        # stall evidence (VERDICT r4 task 2): every slab switch's blocked-on-
+        # upload wait with its timestamp — a slow rep must show its waits
+        # here or the dip is not the slab feed's doing
+        waits = scene_cache.drain_slab_waits()
+        ws = [w for _, _, w in waits]
+        result["slab_waits"] = {
+            "n": len(ws),
+            "total_s": round(sum(ws), 3),
+            "max_s": round(max(ws), 3) if ws else 0.0,
+            "over_100ms": [(t, k, w) for t, k, w in waits if w > 0.1],
+        }
     if emit:
         print(json.dumps(result))
     return result

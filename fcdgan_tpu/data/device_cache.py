@@ -47,7 +47,7 @@ class IndexBatchLoader(BatchLoader):
 _SCENE_PREP = None  # module-level jits: normalizers are TRACED args and
 _STITCH_RUN = None  # geometry is static, so same-geometry scenes (the OSCD
 _WINDOW_RUN = None  # multi-scene case) share ONE compiled program instead of
-#                     re-tracing per scene, and the persistent compile cache
+_ACC_RUN = None     # re-tracing per scene, and the persistent compile cache
 #                     hits across runs (constants no longer baked per scene)
 
 
@@ -75,7 +75,7 @@ def _split_slab(packed, cx: int, cy: int, cr: int):
 
 
 def _scene_jits():
-    global _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN
+    global _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN, _ACC_RUN
     if _SCENE_PREP is not None:
         return _SCENE_PREP, _STITCH_RUN
     import functools
@@ -153,6 +153,49 @@ def _scene_jits():
             out = out.astype(jnp.bfloat16)
         return out
 
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(10,))
+    def run_acc(infer_fn, geom, density_dtype, chunks, px, py, pref, origins,
+                wins, norm, canvas, st, row0):
+        """Per-slab fused stitcher writing into a DEVICE-RESIDENT scene
+        canvas (round 5): gathers tiles from the resident slab (origins
+        offset by ``row0``), runs the segmentor, and writes each tile's
+        interior core at its GLOBAL output origin into ``canvas`` — the
+        same disjoint-interior stitching as the whole-scene ``run``, spread
+        across per-slab programs chained on the donated canvas. Quantization
+        happens at write time (per-pixel values identical to quantizing the
+        finished raster, writes disjoint/idempotent), so the canvas lives in
+        the download dtype and the WHOLE scene downloads once at the end —
+        zero per-slab device->host round trips (round-4 gap: per-slab
+        downloads capped window serving at 0.80 Mpx/s, ab_round4.jsonl).
+
+        Also returns a 1-element probe sliced from the canvas: fetching it
+        is the program-completion barrier that bounds in-flight slabs
+        (block_until_ready returns early on the relay — ROADMAP round 4)."""
+        ph, pw, padx, pady, sy_, sx_ = geom
+
+        def body(i, out):
+            ids = chunks[i]
+            arr = jnp.stack([ids, jnp.ones_like(ids)], axis=1)
+            x, y, _, _, _ = prep((ph, pw), arr, px, py, pref, origins,
+                                 wins, norm, row0)
+            d = infer_fn(st, x, y).astype(jnp.float32)
+            core = jax.lax.slice(d, (0, pady, padx, 0),
+                                 (d.shape[0], pady + sy_, padx + sx_, 1))
+            if density_dtype == "uint8":
+                core = (jnp.clip(core, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+            elif density_dtype == "bfloat16":
+                core = core.astype(jnp.bfloat16)
+            org = origins[ids]
+
+            def write(j, out):
+                return jax.lax.dynamic_update_slice(
+                    out, core[j], (org[j, 0], org[j, 1], 0))
+
+            return jax.lax.fori_loop(0, d.shape[0], write, out)
+
+        out = jax.lax.fori_loop(0, chunks.shape[0], body, canvas)
+        return out, jax.lax.slice(out, (0, 0, 0), (1, 1, 1))
+
     @functools.partial(jax.jit, static_argnums=(0, 1, 2))
     def run_win(infer_fn, geom, density_dtype, chunks, px, py, pref, origins,
                 wins, norm, st, row0):
@@ -189,7 +232,7 @@ def _scene_jits():
             out = out.astype(jnp.bfloat16)
         return out
 
-    _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN = prep, run, run_win
+    _SCENE_PREP, _STITCH_RUN, _WINDOW_RUN, _ACC_RUN = prep, run, run_win, run_acc
     return _SCENE_PREP, _STITCH_RUN
 
 
@@ -546,6 +589,11 @@ class DeviceSceneWindowCache:
         self._resident: Dict[int, tuple] = {}
         self._current: Optional[int] = None
         self._order: list = []
+        # stall evidence (VERDICT r4 task 2): every slab switch records how
+        # long the training loop blocked on the background upload, with a
+        # timestamp — the per-rep variance signature the round-4 window
+        # numbers lacked. Read via slab_waits / drain_slab_waits().
+        self._slab_waits: list = []
 
     # -- slab geometry -------------------------------------------------------
     @staticmethod
@@ -724,10 +772,30 @@ class DeviceSceneWindowCache:
             # first slab switch doesn't stall on a cold load
             self._ensure(order[1])
 
+    @property
+    def slab_waits(self) -> list:
+        """[(t_start, slab, wait_s), ...] — one row per slab switch since
+        construction (or the last drain): the time the consumer blocked on
+        the background slab upload."""
+        with self._lock:
+            return list(self._slab_waits)
+
+    def drain_slab_waits(self) -> list:
+        with self._lock:
+            out = self._slab_waits
+            self._slab_waits = []
+        return out
+
     def _advance_to(self, k: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         with self._lock:
             fut = self._futures.pop(k, None)
         bufs = fut.result() if fut is not None else None
+        with self._lock:
+            self._slab_waits.append(
+                (round(t0, 3), k, round(_time.time() - t0, 4)))
         with self._lock:
             if bufs is not None:
                 self._resident[k] = bufs
@@ -773,52 +841,74 @@ class DeviceSceneWindowCache:
                                       shuffle=shuffle, seed=seed, tail=tail)
 
     # -- fused windowed inference ---------------------------------------------
+    def _canvas_bytes(self, density_dtype: str) -> int:
+        hp2, wp2 = self._grid.padded_shape()
+        padx, pady = self._grid.overlap_padding
+        item = 1 if density_dtype == "uint8" else (
+            2 if density_dtype == "bfloat16" else 4)
+        return (hp2 - 2 * pady) * (wp2 - 2 * padx) * item
+
     def stitched_density(self, infer_fn, sstate, batch_size: int = 10,
                          density_dtype: str = "float32"):
-        """Whole-scene stitched density via per-slab fused programs.
+        """Whole-scene stitched density past the HBM gate (round-5 design).
 
-        Each slab runs ONE device program (gather + infer + interior stitch
-        into a slab canvas — same semantics as the resident cache's fused
-        stitcher, reference parity data_utils.py:178-213). Slab canvas
-        downloads drain on a WRITER THREAD (depth 1) so the main loop goes
-        straight from dispatching slab k to waiting on slab k+1's background
-        upload — uploads, device compute, and downloads all overlap. Round-4
-        profile truth (experiments/window_serve_profile.py /
-        window_prog_bench.py, 2048px scene forced to 6 slabs on the relay):
-        the slab program itself is FAST (~105 ms for a 30-tile slab — the
-        same per-chunk cost as the whole-scene fused program); the shipped
-        main-thread resolve serialized the pipeline (0.22 Mpx/s) and an
-        explicit ``copy_to_host_async`` after dispatch re-triggered the
-        known relay pathology (one rep: a 155 s blocked download — same
-        signature DeferredEpochEnd documents). Draining downloads off-loop
-        measured 0.45-0.54 Mpx/s — the residual wall is the fresh-scene slab
-        uploads themselves (~12.5 raw bytes/px through a ~8 MB/s measured
-        link), which any out-of-core serving of a new scene must pay once.
+        Default path — DEVICE-RESIDENT OUTPUT CANVAS: the density canvas
+        stays in HBM in the download dtype; each slab runs one fused program
+        (gather + infer + interior writes at GLOBAL offsets, quantized at
+        write time — bit-identical to the whole-scene fused path, asserted
+        in tests/test_inference.py) chained on the donated canvas, and the
+        finished raster downloads ONCE. Slab k+1's background upload
+        (``_ensure``) overlaps slab k's program; a 1-element probe fetched
+        per slab is the completion barrier that bounds in-flight slabs
+        (lookahead 2 when the budget holds canvas + 4 slab slots, else 1 =
+        the ``_plan_rows`` 3-slot packed plan; the canvas itself rides on
+        top of the slab budget and is gated at ``FCDGAN_SERVE_CANVAS_MAX_MB``,
+        default = the window budget). Round-4's per-slab downloads paid one
+        dispatch + one download RPC per slab on a link with ~30+ ms
+        per-transfer latency and run-level drift — the 0.80 Mpx/s gap of
+        ab_round4.jsonl `infer_2048_window_gate80*`; this path has zero
+        per-slab downloads.
+
+        Fallback — per-slab slab-canvas downloads drained on a depth-1
+        writer thread — only when the canvas exceeds its gate (huge scene +
+        tiny budget). The loop enqueues slab k's download BEFORE starting
+        slab k+2's upload, so live slabs stay within the 3-slot plan (the
+        round-4 ordering could hold 4 — advisor finding, ADVICE.md r4).
 
         Chunk lists are wrap-padded to a fixed shape so every slab shares
         one compiled program (duplicate tiles re-write identical interiors).
-        Queue depth 1 bounds live slabs to ~3 (downloading / computing /
-        uploading), matching the 3-slot window budget of ``_plan_rows``."""
-        import queue as _queue
-        import threading
-
+        Reference semantics reproduced: interior-only stitched write-back of
+        data_utils.py:178-213 under Demo_USSS.py:404-473."""
         import jax.numpy as jnp
 
         _scene_jits()
-        run_win = _WINDOW_RUN
         grid = self._grid
         ph, pw, padx, pady, wp = self._geom
         sy_, sx_ = ph - 2 * pady, pw - 2 * padx
         hs, ws = self._scene_hw
         ys = grid.ystarts
+        bs = min(batch_size, max(self.slab_sizes))
+        max_chunks = max(-(-n // bs) for n in self.slab_sizes)
+
+        canvas_mb = os.environ.get("FCDGAN_SERVE_CANVAS_MAX_MB")
+        canvas_gate = (float(canvas_mb) * 1e6 if canvas_mb is not None
+                       else self._budget_bytes())
+        cbytes = self._canvas_bytes(density_dtype)
+        if cbytes <= canvas_gate:
+            return self._stitched_density_canvas(
+                infer_fn, sstate, bs, max_chunks, density_dtype)
+
+        run_win = _WINDOW_RUN
         out_h = (self._rows_per_slab - 1) * self._stride + sy_
         out_w = wp - 2 * padx
         geom = (ph, pw, padx, pady, sy_, sx_, out_h, out_w)
-
-        bs = min(batch_size, max(self.slab_sizes))
-        max_chunks = max(-(-n // bs) for n in self.slab_sizes)
         host_dt = np.uint8 if density_dtype == "uint8" else np.float32
         out = np.zeros((hs, ws), host_dt)
+        with self._lock:  # serving visits slabs in order; a stale training
+            self._order = list(range(self.n_slabs))  # order must not prefetch
+
+        import queue as _queue
+        import threading
 
         q: "_queue.Queue" = _queue.Queue(maxsize=1)
         sentinel = object()
@@ -845,8 +935,6 @@ class DeviceSceneWindowCache:
                 if err:
                     break
                 self._ensure(k)
-                if k + 1 < self.n_slabs:
-                    self._ensure(k + 1)
                 self._advance_to(k)
                 px, py, pref, row0 = self._resident[k]
                 items = self.slab_items(k)
@@ -857,7 +945,13 @@ class DeviceSceneWindowCache:
                               self._wins, self._norm, sstate,
                               jnp.int32(int(row0)))
                 y0 = ys[self._slab_r0[k]]
+                # enqueue BEFORE prefetching slab k+1: q.put blocks while the
+                # writer still holds slab k-1's download, so at most
+                # (computing k) + (uploading k+1) slab buffers are in flight
+                # on top of the small slab canvases — within the 3-slot plan
                 q.put((dev, y0, min(out_h, hs - y0)))
+                if k + 1 < self.n_slabs:
+                    self._ensure(k + 1)
         finally:
             q.put(sentinel)
             wt.join()
@@ -866,6 +960,64 @@ class DeviceSceneWindowCache:
         if density_dtype == "uint8":
             return out.astype(np.float32) / 255.0
         return out.astype(np.float32)
+
+    def _stitched_density_canvas(self, infer_fn, sstate, bs: int,
+                                 max_chunks: int, density_dtype: str):
+        """Resident-canvas serving loop (see ``stitched_density``).
+
+        In-flight bound WITHOUT blocking the main loop: slab k+1's
+        background load is GATED on slab k-1's program-completion probe —
+        the wait happens on the slab-feed worker thread (whose blocking is
+        free: it only exists to overlap IO with compute), so the main loop
+        dispatches program k while k-1 still executes (dispatch RPC latency
+        hidden) yet at most [k just-freed, k computing, k+1 uploading]
+        slab buffers coexist — the 3-slot ``_plan_rows`` packed plan, with
+        the output canvas riding on top (gated in ``stitched_density``)."""
+        import jax.numpy as jnp
+
+        run_acc = _ACC_RUN
+        grid = self._grid
+        ph, pw, padx, pady, wp = self._geom
+        sy_, sx_ = ph - 2 * pady, pw - 2 * padx
+        hs, ws = self._scene_hw
+        hp2, wp2 = grid.padded_shape()
+        geom = (ph, pw, padx, pady, sy_, sx_)
+        cdt = {"uint8": jnp.uint8, "bfloat16": jnp.bfloat16}.get(
+            density_dtype, jnp.float32)
+
+        with self._lock:  # serving visits slabs in order; a stale training
+            self._order = []  # order must not trigger extra prefetches
+
+        def gated_load(k: int, barrier):
+            if barrier is not None:
+                np.asarray(barrier)  # program k-2 done -> its slab is freed
+            return self._load_slab(k)
+
+        canvas = jnp.zeros((hp2 - 2 * pady, wp2 - 2 * padx, 1), cdt)
+        probes: Dict[int, object] = {}
+        self._ensure(0)
+        for k in range(self.n_slabs):
+            self._advance_to(k)
+            px, py, pref, row0 = self._resident[k]
+            items = self.slab_items(k)
+            idxs = np.resize(items.astype(np.int32), max_chunks * bs)
+            idxs = idxs.reshape(max_chunks, bs)
+            canvas, probe = run_acc(infer_fn, geom, density_dtype,
+                                    jnp.asarray(idxs), px, py, pref,
+                                    self._origins, self._wins, self._norm,
+                                    canvas, sstate, jnp.int32(int(row0)))
+            probes[k] = probe
+            if k + 1 < self.n_slabs:
+                with self._lock:
+                    if (k + 1 != self._current
+                            and k + 1 not in self._resident
+                            and k + 1 not in self._futures):
+                        self._futures[k + 1] = self._pool.submit(
+                            gated_load, k + 1, probes.get(k - 1))
+        host = np.asarray(canvas)[:hs, :ws, 0]  # the ONE download
+        if density_dtype == "uint8":
+            return host.astype(np.float32) / 255.0
+        return host.astype(np.float32)
 
 
 class IndexPairBatchLoader(BatchLoader):

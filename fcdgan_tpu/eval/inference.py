@@ -249,13 +249,21 @@ def stitched_inference(
             want_raw = (transfer_dtype is None
                         and NativeSceneBatchLoader.supports_device_normalize(
                             dataset))
+            if want_raw:
+                # build the normalizer FIRST: if it fails we still keep a
+                # (f32-assembling) native loader instead of silently falling
+                # back to the slow Python BatchLoader (advisor finding r4)
+                try:
+                    normalizer = DeviceNormalizer(dataset.enhance,
+                                                  dataset.raster_x.nband)
+                except Exception:
+                    normalizer = None
+                    want_raw = False
             loader = NativeSceneBatchLoader(dataset, batch_size, shuffle=False,
                                             device_normalize=want_raw)
-            if want_raw:
-                normalizer = DeviceNormalizer(dataset.enhance,
-                                              dataset.raster_x.nband)
         except Exception:
             loader = None
+            normalizer = None
     if loader is None:
         loader = BatchLoader(dataset, batch_size, fields=("x", "y", "item", "ref"),
                              shuffle=False)

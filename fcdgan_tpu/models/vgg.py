@@ -44,17 +44,23 @@ for _c in _CFG:
 FEATURE_LAYER_LIST: Tuple[int, ...] = (29, 22, 15, 8, 3)
 
 
-@jax.custom_vjp
-def _phase_pool_exit(h: jnp.ndarray) -> jnp.ndarray:
-    """W-s2d pool exit: W-phase first-wins select + 2x1 H max pool.
+def _ppe_primal(h):
+    """Primal values for the W-s2d pool exit (W-phase first-wins select +
+    2x1 H max pool). FCDGAN_PHASE_POOL=pallas routes the fused kernel
+    (ops/pallas/phase_pool.py) where it applies — identical values.
 
-    Forward-identical to the inline where+reduce_window it replaces; the
-    custom VJP saves only ``h`` and RECOMPUTES both select masks in the
-    backward. XLA's default VJP stores the phase predicate (~93 MB at the
-    block-1 shape) and runs a select_and_scatter for the H pool — together
-    ~6 ms of the joint step; the recompute form is a pure fused elementwise
-    pass near HBM bandwidth. Tie routing (first-wins on both axes) composes
-    to XLA select_and_scatter's row-major first-max exactly."""
+    NOTE (semantics, advisor r4): this env var and FCDGAN_PPE_BWD are read
+    at TRACE time — a jit executable compiled before the toggle keeps its
+    original routing; toggling after a warm jit cache silently has no
+    effect (set the env before the first traced call, or clear jax caches).
+    """
+    if os.environ.get("FCDGAN_PHASE_POOL") == "pallas":
+        from ..ops.pallas.phase_pool import (
+            phase_pool_forward, use_pallas_phase_pool,
+        )
+
+        if use_pallas_phase_pool(h.shape, h.dtype):
+            return phase_pool_forward(h)
     c = h.shape[-1] // 2
     a, b = h[..., :c], h[..., c:]
     m = jnp.where(a >= b, a, b)
@@ -63,17 +69,20 @@ def _phase_pool_exit(h: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _ppe_primal(h):
-    """Forward values; FCDGAN_PHASE_POOL=pallas routes the fused kernel
-    (ops/pallas/phase_pool.py) where it applies — identical values."""
-    if os.environ.get("FCDGAN_PHASE_POOL") == "pallas":
-        from ..ops.pallas.phase_pool import (
-            phase_pool_forward, use_pallas_phase_pool,
-        )
+@jax.custom_vjp
+def _phase_pool_exit(h: jnp.ndarray) -> jnp.ndarray:
+    """W-s2d pool exit: W-phase first-wins select + 2x1 H max pool.
 
-        if use_pallas_phase_pool(h.shape, h.dtype):
-            return phase_pool_forward(h)
-    return _phase_pool_exit(h)
+    The primal body routes through ``_ppe_primal`` so NON-differentiated
+    forwards (eval/inference) reach the pallas opt-in too (advisor r4 —
+    previously only the custom_vjp fwd rule routed it). The custom VJP
+    saves only ``h`` and RECOMPUTES both select masks in the backward.
+    XLA's default VJP stores the phase predicate (~93 MB at the block-1
+    shape) and runs a select_and_scatter for the H pool — together ~6 ms of
+    the joint step; the recompute form is a pure fused elementwise pass
+    near HBM bandwidth. Tie routing (first-wins on both axes) composes to
+    XLA select_and_scatter's row-major first-max exactly."""
+    return _ppe_primal(h)
 
 
 def _ppe_fwd(h):
@@ -123,16 +132,20 @@ def _ppe_bwd_mul(h, dy):
     """Same routing as _ppe_bwd, all-arithmetic: the selectors are 0/1
     masks in the compute dtype and the gradient is routed by multiplication.
 
-    EXACT for every routed value: a*1 + b*0 == a bitwise, dy*1 == dy, and
-    the unrouted positions are dy*0 == 0 (dy is finite — it is a mean-MSE
-    cotangent). The point is the lowering: no pred intermediates between
-    fusions (bf16 tiles as (8,128)(2,1) instead of pred's (4,1))."""
+    EXACT for every routed value: dy*1 == dy, and the unrouted positions
+    are dy*0 == 0 (dy is finite — it is a mean-MSE cotangent). The ``m``
+    recompute uses ``maximum`` (== where(a>=b, a, b) for all non-NaN inputs
+    INCLUDING +/-inf — bf16 activations can overflow to inf, and the
+    multiply-routed form a*sa + b*(1-sa) would produce inf*0 = NaN there,
+    corrupting the H selector; advisor finding r4) — still no pred
+    intermediates between fusions (bf16 tiles as (8,128)(2,1) instead of
+    pred's (4,1))."""
     c = h.shape[-1] // 2
     a, b = h[..., :c], h[..., c:]
     one = jnp.ones((), h.dtype)
     zero = jnp.zeros((), h.dtype)
     sa = jnp.where(a >= b, one, zero)          # W-phase first-wins, 0/1
-    m = a * sa + b * (one - sa)                # == where(a>=b, a, b) exactly
+    m = jnp.maximum(a, b)                      # inf-safe first-wins value
     n, hh, w, _ = m.shape
     h2 = hh // 2
     m2 = m[:, : 2 * h2].reshape(n, h2, 2, w, c)

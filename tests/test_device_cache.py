@@ -183,26 +183,42 @@ def test_window_stitched_density_matches_full(tmp_path):
 
     full = DeviceSceneCache(ds, scaler)
     want = full.stitched_density(infer, sstate, batch_size=3)
+    # round 5: the default serving path is the device-resident output canvas
+    # (one download); forcing FCDGAN_SERVE_CANVAS_MAX_MB=0 exercises the
+    # per-slab-download fallback. Both must be BIT-exact vs the fused cache.
     os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"
     try:
-        win = DeviceSceneWindowCache(ds, scaler)
-        assert win.n_slabs > 1
-        got = win.stitched_density(infer, sstate, batch_size=3)
+        for canvas_gate in (None, "0.000001"):
+            if canvas_gate is None:
+                os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
+            else:
+                os.environ["FCDGAN_SERVE_CANVAS_MAX_MB"] = canvas_gate
+            win = DeviceSceneWindowCache(ds, scaler)
+            assert win.n_slabs > 1
+            got = win.stitched_density(infer, sstate, batch_size=3)
+            assert got.shape == want.shape == (90, 100)
+            assert np.array_equal(got, want), f"canvas_gate={canvas_gate}"
     finally:
         del os.environ["FCDGAN_SCENE_WINDOW_MB"]
-    assert got.shape == want.shape == (90, 100)
-    assert np.array_equal(got, want)
-    # uint8 path quantizes identically too
+        os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
+    # uint8 path quantizes identically too (canvas path quantizes per slab
+    # write; values are per-pixel identical so the bytes must match)
     want8 = full.stitched_density(infer, sstate, batch_size=3,
                                   density_dtype="uint8")
     os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"
     try:
-        win2 = DeviceSceneWindowCache(ds, scaler)
-        got8 = win2.stitched_density(infer, sstate, batch_size=3,
-                                     density_dtype="uint8")
+        for canvas_gate in (None, "0.000001"):
+            if canvas_gate is None:
+                os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
+            else:
+                os.environ["FCDGAN_SERVE_CANVAS_MAX_MB"] = canvas_gate
+            win2 = DeviceSceneWindowCache(ds, scaler)
+            got8 = win2.stitched_density(infer, sstate, batch_size=3,
+                                         density_dtype="uint8")
+            assert np.array_equal(got8, want8), f"canvas_gate={canvas_gate}"
     finally:
         del os.environ["FCDGAN_SCENE_WINDOW_MB"]
-    assert np.array_equal(got8, want8)
+        os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
 
 
 @pytest.mark.slow

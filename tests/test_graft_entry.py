@@ -32,3 +32,11 @@ def test_dryrun_multichip_adversarial_modes():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8, modes=("wsss", "rsss"))
+
+
+def test_dryrun_multichip_serve():
+    """The serving leg: sharded fused stitched density + window-cache epoch
+    bit-equal to the single-device raster (VERDICT r4 task 6)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8, modes=("serve",))
