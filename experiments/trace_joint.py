@@ -35,7 +35,7 @@ def run_trace(outdir, steps):
         jax.block_until_ready(m["NetLoss"])
 
 
-def analyze(outdir, steps, top=40):
+def analyze(outdir, steps, top=40, table=False):
     paths = sorted(glob.glob(os.path.join(outdir, "plugins/profile/*/*.trace.json.gz")))
     assert paths, f"no trace under {outdir}"
     with gzip.open(paths[-1], "rt") as f:
@@ -48,6 +48,9 @@ def analyze(outdir, steps, top=40):
             proc[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in proc.items() if "TPU" in n or "/device" in n.lower()}
     agg = defaultdict(float)
+    flops = defaultdict(float)
+    bytes_ = defaultdict(float)
+    argkeys = defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
@@ -55,10 +58,47 @@ def analyze(outdir, steps, top=40):
             dur = float(e.get("dur", 0.0))
             agg[name] += dur
             total += dur
+            a = e.get("args") or {}
+            for k in a:
+                argkeys[k] += 1
+            for k in ("flops", "model_flops", "flop_count"):
+                if k in a:
+                    try:
+                        flops[name] += float(a[k])
+                    except (TypeError, ValueError):
+                        pass
+                    break
+            for k in ("bytes accessed", "bytes_accessed", "memory_bandwidth"):
+                if k in a:
+                    try:
+                        bytes_[name] += float(a[k])
+                    except (TypeError, ValueError):
+                        pass
+                    break
     print(f"device pids: {sorted(dev_pids)} ({ {p: proc[p] for p in dev_pids} })")
     print(f"total device time: {total/1e3/steps:.2f} ms/step over {steps} steps")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{dur/1e3/steps:9.3f} ms  {100*dur/max(total,1e-9):5.1f}%  {name[:110]}")
+    print(f"arg keys seen: {dict(sorted(argkeys.items(), key=lambda kv: -kv[1])[:12])}")
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    if table:
+        # markdown per-op budget table (VERDICT r4 task 3): op, ms/step,
+        # % of step, TF/s (from the trace's own flop counts), GB/s
+        print("\n| op | ms/step | % step | TF/s | GB/s |")
+        print("|---|---|---|---|---|")
+        for name, dur in rows:
+            tf = flops[name] / (dur * 1e-6) / 1e12 if dur and flops[name] else 0
+            gb = bytes_[name] / (dur * 1e-6) / 1e9 if dur and bytes_[name] else 0
+            print(f"| `{name[:80]}` | {dur/1e3/steps:.3f} | "
+                  f"{100*dur/max(total,1e-9):.1f}% | "
+                  f"{tf:.1f} | {gb:.0f} |")
+    else:
+        for name, dur in rows:
+            extra = ""
+            if flops[name]:
+                extra += f"  {flops[name]/(dur*1e-6)/1e12:6.1f} TF/s"
+            if bytes_[name]:
+                extra += f"  {bytes_[name]/(dur*1e-6)/1e9:5.0f} GB/s"
+            print(f"{dur/1e3/steps:9.3f} ms  {100*dur/max(total,1e-9):5.1f}%"
+                  f"{extra}  {name[:100]}")
 
 
 if __name__ == "__main__":
@@ -66,7 +106,9 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jaxtrace_joint")
     ap.add_argument("--analyze-only", action="store_true")
+    ap.add_argument("--table", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
     if not args.analyze_only:
         run_trace(args.outdir, args.steps)
-    analyze(args.outdir, args.steps)
+    analyze(args.outdir, args.steps, top=args.top, table=args.table)

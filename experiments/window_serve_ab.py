@@ -45,6 +45,7 @@ def main():
     enable_compile_cache()
     wait_for_backend()
     scene_px = int(os.environ.get("SCENE_PX", "2048"))
+    scene_dt = os.environ.get("SCENE_DT", "float32")
     density_dtype = os.environ.get("DD", "uint8")
     reps = int(os.environ.get("REPS", "3"))
 
@@ -55,14 +56,38 @@ def main():
         st.variables, x, y, train=False).astype(jnp.float32))
 
     td = tempfile.mkdtemp()
-    paths = make_usss_scene(td, scene_px, scene_px, 3, dtype="float32")
+    paths = make_usss_scene(td, scene_px, scene_px, 3, dtype=scene_dt)
     ds = ScenePairDataset(paths["x"], paths["y"],
                           patch_size=(220, 220), overlap_padding=(10, 10))
     assert not DeviceSceneCache.fits(ds), "gate did not force windows"
     assert DeviceSceneWindowCache.supports(ds)
     px_count = scene_px * scene_px
+    print(json.dumps({"scene_dt": scene_dt, "scene_px": scene_px,
+                      "rows_per_slab": DeviceSceneWindowCache._plan_rows(ds),
+                      "serve_mode": os.environ.get("FCDGAN_SERVE_MODE",
+                                                   "auto")}), flush=True)
 
     full = DeviceSceneCache(ds, None)  # ceiling: ignore the gate on purpose
+
+    # in-process TRUE link bandwidth (consuming jit + value fetch — the
+    # only sound upload barrier on the relay, true_bandwidth_probe.py):
+    # fresh-scene window serving is H2D-bound, so every variant is also
+    # quoted as a fraction of its own link bound
+    force1 = jax.jit(lambda a: a.reshape(-1)[0].astype(jnp.float32) + 1)
+    rng = np.random.default_rng(1)
+    probe_arr = rng.normal(size=int(21e6 / 4)).astype(np.float32)
+    float(np.asarray(force1(jax.device_put(np.zeros(8, np.float32)))))
+    t0 = time.perf_counter()
+    d = jax.device_put(probe_arr)
+    float(np.asarray(force1(d)))
+    link_mb_s = 21.0 / (time.perf_counter() - t0)
+    del d
+    print(json.dumps({"link_mb_per_s": round(link_mb_s, 1)}), flush=True)
+
+    win_probe = DeviceSceneWindowCache(ds, None)
+    slab_bytes = (win_probe._bytes_per_row(ds) * win_probe._slab_h
+                  * win_probe.n_slabs)
+    win_probe._pool.shutdown(wait=True)
 
     def run_fused():
         return full.stitched_density(infer, sstate, batch_size=10,
@@ -73,6 +98,8 @@ def main():
             os.environ["FCDGAN_SERVE_CANVAS_MAX_MB"] = "0.000001"
         else:
             os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
+        if variant == "canvas_bf16":
+            os.environ["FCDGAN_SERVE_SLAB_DTYPE"] = "bfloat16"
         cache = DeviceSceneWindowCache(ds, None)
         try:
             return cache.stitched_density(infer, sstate, batch_size=10,
@@ -80,19 +107,29 @@ def main():
         finally:
             cache._pool.shutdown(wait=True)
             os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
+            os.environ.pop("FCDGAN_SERVE_SLAB_DTYPE", None)
 
-    # warm all three (compile) + capture outputs for the exactness check
+    variants = ["fallback", "canvas"]
+    if ds.raster_x.dtype == np.float32:
+        variants.append("canvas_bf16")  # byte-halver only bites on f32 scenes
+
+    # warm all (compile) + capture outputs for the exactness check
     want = run_fused()
-    outs = {}
-    for v in ("fallback", "canvas"):
-        outs[v] = run_window(v)
-        exact = np.array_equal(outs[v], want)
-        print(json.dumps({"check": v, "bit_exact_vs_fused": bool(exact)}),
-              flush=True)
+    for v in variants:
+        out = run_window(v)
+        if v == "canvas_bf16":
+            err = float(np.max(np.abs(out - want)))
+            print(json.dumps({"check": v, "max_abs_err_vs_fused":
+                              round(err, 5)}), flush=True)
+        else:
+            print(json.dumps({"check": v, "bit_exact_vs_fused":
+                              bool(np.array_equal(out, want))}), flush=True)
 
-    results = {"fused": [], "fallback": [], "canvas": []}
+    v_bytes = {"fused": 0, "fallback": slab_bytes, "canvas": slab_bytes,
+               "canvas_bf16": slab_bytes // 2}
+    results = {v: [] for v in ["fused"] + variants}
     for rep in range(reps):
-        for v in ("fallback", "canvas", "fused"):
+        for v in variants + ["fused"]:
             t0 = time.perf_counter()
             if v == "fused":
                 run_fused()
@@ -100,9 +137,13 @@ def main():
                 run_window(v)
             dt = time.perf_counter() - t0
             results[v].append(px_count / dt / 1e6)
+            bound = v_bytes[v] / 1e6 / link_mb_s
             print(json.dumps({"variant": v, "rep": rep,
                               "mpx_per_s": round(px_count / dt / 1e6, 3),
                               "wall_s": round(dt, 3),
+                              "link_bound_s": round(bound, 3),
+                              "frac_of_link_bound": (round(bound / dt, 3)
+                                                     if bound else None),
                               "t": round(time.time(), 3)}), flush=True)
 
     summary = {v: {"median": round(float(np.median(r)), 3),
@@ -113,7 +154,9 @@ def main():
     summary["canvas_over_fallback"] = round(
         summary["canvas"]["median"] / summary["fallback"]["median"], 3)
     print(json.dumps({"summary": summary, "scene_px": scene_px,
-                      "density_dtype": density_dtype}), flush=True)
+                      "density_dtype": density_dtype,
+                      "link_mb_per_s": round(link_mb_s, 1),
+                      "upload_bytes": slab_bytes}), flush=True)
 
 
 if __name__ == "__main__":

@@ -404,10 +404,11 @@ class DeviceSceneCache:
         hs, ws = self._scene_hw
         n = self._n_tiles
         bs = min(batch_size, n)
-        n_chunks = -(-n // bs)
-        idxs = np.resize(np.arange(n, dtype=np.int32), n_chunks * bs)
-        idxs = idxs.reshape(n_chunks, bs)  # wrap-padded: dup tiles re-write
-        # identical interior values - stitching is idempotent
+        # chunking via the shared serve policy (wrap-padded: dup tiles
+        # re-write identical interior values - stitching is idempotent;
+        # batch floor widened to FCDGAN_SERVE_BS for MXU depth)
+        idxs = DeviceSceneWindowCache._serve_chunks(
+            np.arange(n, dtype=np.int32), bs)
 
         # module-level jit keyed on (infer_fn, geometry, dtype) + arg shapes:
         # a fresh jax.jit closure every call would re-trace and re-ship the
@@ -700,18 +701,13 @@ class DeviceSceneWindowCache:
         return (np.arange(nx)[:, None] * ny + rows[None, :]).reshape(-1)
 
     # -- slab IO (worker thread) ----------------------------------------------
-    def _load_slab(self, k: int) -> tuple:
-        """Read slab k's raw scene rows, zero-pad horizontally, upload.
-        Returns (px, py, pref, row0) device buffers.
-
-        When one dtype holds every raster exactly (``_pack_dtype``), the
-        three planes ride ONE channel-packed host buffer and ONE device_put,
-        split back on device in a single fused dispatch — on high-latency
-        links (the axon relay pays a fixed ~35 ms round trip per transfer)
-        this cuts the per-slab upload from 3 RPCs to 1 and narrows the
-        window in which an upload can serialize against the compute stream
-        (round-4 finding: driver_window_2048 rep spread 1.7-3.1 Mpx/s came
-        from slab-put/compute serialization, ab_round4.jsonl)."""
+    def _read_slab_host(self, k: int):
+        """Host half of ``_load_slab``: disk read + zero-padded assembly of
+        slab k's planes, NO device transfer. Returns an opaque host payload
+        for ``_put_slab`` — split out so phased serving can overlap disk IO
+        with compute while deferring the device_put to a drained queue
+        (puts racing active compute stall the relay's execute stream ~0.4 s
+        each regardless of size: experiments/put_during_compute.py)."""
         ph, pw, padx, pady, wp = self._geom
         hs, ws = self._scene_hw
         ys = self._grid.ystarts
@@ -736,24 +732,57 @@ class DeviceSceneWindowCache:
             for r, c in zip(rasters, cs):
                 fill(host[..., off:off + c], r)
                 off += c
-            packed = self._put(host)
+            if (pack == np.float32
+                    and os.environ.get("FCDGAN_SERVE_SLAB_DTYPE")
+                    == "bfloat16"):
+                # OPT-IN byte halver for float32 scenes on slow links: the
+                # slab rides as bf16 (raw-value rounding <= 1 bf16 ulp,
+                # ~0.4% relative, BEFORE normalization — downstream compute
+                # is bf16 anyway). Out-of-core FRESH-scene serving is H2D-
+                # bandwidth-bound (true-barrier measurement: ~10-17 MB/s on
+                # the axon relay, experiments/true_bandwidth_probe.py), so
+                # halving bytes halves the wall. NOT bit-exact vs the f32
+                # resident cache — default off; integral scenes unaffected.
+                import ml_dtypes
+
+                host = host.astype(ml_dtypes.bfloat16)
+            return ("packed", host, cs, np.int32(p0))
+        dts = self._slab_dtypes(ds)
+        hosts = []
+        for raster, dtype in zip(rasters, dts):
+            host = np.zeros((self._slab_h, wp, raster.nband), dtype)
+            fill(host, raster)
+            hosts.append(host)
+        return ("planes", hosts, None, np.int32(p0))
+
+    def _put_slab(self, payload) -> tuple:
+        """Device half of ``_load_slab``: upload a ``_read_slab_host``
+        payload and return (px, py, pref, row0) device buffers."""
+        kind, data, cs, p0 = payload
+        if kind == "packed":
+            packed = self._put(data)
             px, py, pref = _split_slab(packed, cs[0], cs[1],
                                        cs[2] if len(cs) > 2 else 0)
             del packed  # transient: budget plans 3 slab slots (see _plan_rows)
-            return (px, py, pref, np.int32(p0))
+            return (px, py, pref, p0)
+        bufs = [self._put(h) for h in data]
+        px, py = bufs[0], bufs[1]
+        pref = bufs[2] if len(bufs) > 2 else None
+        return (px, py, pref, p0)
 
-        dts = self._slab_dtypes(ds)
+    def _load_slab(self, k: int) -> tuple:
+        """Read slab k's raw scene rows, zero-pad horizontally, upload.
+        Returns (px, py, pref, row0) device buffers.
 
-        def read(raster, dtype):
-            host = np.zeros((self._slab_h, wp, raster.nband), dtype)
-            fill(host, raster)
-            return self._put(host)
-
-        px = read(ds.raster_x, dts[0])
-        py = read(ds.raster_y, dts[1])
-        pref = (read(ds.raster_ref, dts[2])
-                if ds.raster_ref is not None else None)
-        return (px, py, pref, np.int32(p0))
+        When one dtype holds every raster exactly (``_pack_dtype``), the
+        three planes ride ONE channel-packed host buffer and ONE device_put,
+        split back on device in a single fused dispatch — on high-latency
+        links (the axon relay pays a fixed ~35 ms round trip per transfer)
+        this cuts the per-slab upload from 3 RPCs to 1 and narrows the
+        window in which an upload can serialize against the compute stream
+        (round-4 finding: driver_window_2048 rep spread 1.7-3.1 Mpx/s came
+        from slab-put/compute serialization, ab_round4.jsonl)."""
+        return self._put_slab(self._read_slab_host(k))
 
     def _ensure(self, k: int) -> None:
         with self._lock:
@@ -888,7 +917,6 @@ class DeviceSceneWindowCache:
         hs, ws = self._scene_hw
         ys = grid.ystarts
         bs = min(batch_size, max(self.slab_sizes))
-        max_chunks = max(-(-n // bs) for n in self.slab_sizes)
 
         canvas_mb = os.environ.get("FCDGAN_SERVE_CANVAS_MAX_MB")
         canvas_gate = (float(canvas_mb) * 1e6 if canvas_mb is not None
@@ -896,7 +924,7 @@ class DeviceSceneWindowCache:
         cbytes = self._canvas_bytes(density_dtype)
         if cbytes <= canvas_gate:
             return self._stitched_density_canvas(
-                infer_fn, sstate, bs, max_chunks, density_dtype)
+                infer_fn, sstate, bs, density_dtype)
 
         run_win = _WINDOW_RUN
         out_h = (self._rows_per_slab - 1) * self._stride + sy_
@@ -937,9 +965,7 @@ class DeviceSceneWindowCache:
                 self._ensure(k)
                 self._advance_to(k)
                 px, py, pref, row0 = self._resident[k]
-                items = self.slab_items(k)
-                idxs = np.resize(items.astype(np.int32), max_chunks * bs)
-                idxs = idxs.reshape(max_chunks, bs)
+                idxs = self._serve_chunks(self.slab_items(k), bs)
                 dev = run_win(infer_fn, geom, density_dtype,
                               jnp.asarray(idxs), px, py, pref, self._origins,
                               self._wins, self._norm, sstate,
@@ -961,18 +987,49 @@ class DeviceSceneWindowCache:
             return out.astype(np.float32) / 255.0
         return out.astype(np.float32)
 
+    @staticmethod
+    def _serve_chunks(items: np.ndarray, bs: int) -> np.ndarray:
+        """(nc, bs_eff) chunk list for one slab's fused serve program.
+
+        Per-slab chunk counts (ceil(n/bs), not a global max) cut wrap-pad
+        duplicate compute. The chunk BATCH stays the caller's ``batch_size``
+        by default: XLA picks different (differently-rounded) conv lowerings
+        per batch size on TPU bf16, so bit-equality between the window and
+        whole-scene fused paths requires identical per-program batch shapes
+        (measured round 5: a bs-32 fused vs bs-22 slab run broke
+        array_equal). ``FCDGAN_SERVE_BS`` > 0 opts into wider batches for
+        MXU depth where cross-path bit-equality is not required — slabs
+        smaller than the cap then run as ONE exact-size chunk."""
+        n = len(items)
+        cap = int(os.environ.get("FCDGAN_SERVE_BS", "0"))
+        bs_eff = min(max(bs, cap), n) if cap > 0 else min(bs, n)
+        nc = -(-n // bs_eff)
+        idxs = np.resize(items.astype(np.int32), nc * bs_eff)
+        return idxs.reshape(nc, bs_eff)
+
     def _stitched_density_canvas(self, infer_fn, sstate, bs: int,
-                                 max_chunks: int, density_dtype: str):
+                                 density_dtype: str):
         """Resident-canvas serving loop (see ``stitched_density``).
 
-        In-flight bound WITHOUT blocking the main loop: slab k+1's
-        background load is GATED on slab k-1's program-completion probe —
-        the wait happens on the slab-feed worker thread (whose blocking is
-        free: it only exists to overlap IO with compute), so the main loop
-        dispatches program k while k-1 still executes (dispatch RPC latency
-        hidden) yet at most [k just-freed, k computing, k+1 uploading]
-        slab buffers coexist — the 3-slot ``_plan_rows`` packed plan, with
-        the output canvas riding on top (gated in ``stitched_density``)."""
+        Two upload strategies, FCDGAN_SERVE_MODE=phased|overlap:
+
+        * ``phased`` (default on the axon relay): slab GROUPS alternate
+          [drain-queue barrier -> device_put group -> dispatch group] so no
+          put ever races active compute — on the relay a put racing the
+          execute stream stalls it ~0.4 s regardless of size
+          (experiments/put_during_compute.py: a resident 6-program chain
+          runs 0.66 s; the same chain with six 20.8 MB interleaved puts,
+          main thread or background thread, runs 2.9-3.1 s). Disk reads
+          still overlap compute on the worker thread; only the puts wait
+          for the barrier. Group size 2 (packed) keeps peak slabs at the
+          3-slot ``_plan_rows`` plan.
+
+        * ``overlap`` (default elsewhere — a real host's PCIe DMA uploads
+          do overlap compute): slab k+1's background load is GATED on slab
+          k-1's program-completion probe on the worker thread, so the main
+          loop never blocks while at most [k just-freed, k computing, k+1
+          uploading] slab buffers coexist."""
+        import jax
         import jax.numpy as jnp
 
         run_acc = _ACC_RUN
@@ -985,35 +1042,86 @@ class DeviceSceneWindowCache:
         cdt = {"uint8": jnp.uint8, "bfloat16": jnp.bfloat16}.get(
             density_dtype, jnp.float32)
 
+        mode = os.environ.get("FCDGAN_SERVE_MODE")
+        if mode not in ("phased", "overlap"):
+            # the axon relay registers as platform "tpu" but stamps its
+            # platform_version; real TPU hosts (PCIe DMA uploads that do
+            # overlap compute) take the overlap strategy
+            try:
+                ver = getattr(jax.devices()[0].client, "platform_version", "")
+            except Exception:
+                ver = ""
+            mode = "phased" if "axon" in ver else "overlap"
+
         with self._lock:  # serving visits slabs in order; a stale training
             self._order = []  # order must not trigger extra prefetches
 
-        def gated_load(k: int, barrier):
-            if barrier is not None:
-                np.asarray(barrier)  # program k-2 done -> its slab is freed
-            return self._load_slab(k)
-
         canvas = jnp.zeros((hp2 - 2 * pady, wp2 - 2 * padx, 1), cdt)
-        probes: Dict[int, object] = {}
-        self._ensure(0)
-        for k in range(self.n_slabs):
-            self._advance_to(k)
-            px, py, pref, row0 = self._resident[k]
-            items = self.slab_items(k)
-            idxs = np.resize(items.astype(np.int32), max_chunks * bs)
-            idxs = idxs.reshape(max_chunks, bs)
-            canvas, probe = run_acc(infer_fn, geom, density_dtype,
-                                    jnp.asarray(idxs), px, py, pref,
-                                    self._origins, self._wins, self._norm,
-                                    canvas, sstate, jnp.int32(int(row0)))
-            probes[k] = probe
-            if k + 1 < self.n_slabs:
-                with self._lock:
-                    if (k + 1 != self._current
-                            and k + 1 not in self._resident
-                            and k + 1 not in self._futures):
-                        self._futures[k + 1] = self._pool.submit(
-                            gated_load, k + 1, probes.get(k - 1))
+
+        def dispatch(k, bufs, canvas):
+            px, py, pref, row0 = bufs
+            idxs = self._serve_chunks(self.slab_items(k), bs)
+            return run_acc(infer_fn, geom, density_dtype,
+                           jnp.asarray(idxs), px, py, pref,
+                           self._origins, self._wins, self._norm,
+                           canvas, sstate, jnp.int32(int(row0)))
+
+        if mode == "phased":
+            import time as _time
+
+            dbg = os.environ.get("FCDGAN_SERVE_DEBUG") == "1"
+            group = 2 if self._pack_dtype(self._dataset) is not None else 1
+            n = self.n_slabs
+            starts = list(range(0, n, group))
+            reads: Dict[int, object] = {}
+
+            def ensure_reads(upto):
+                for k in range(min(upto, n)):
+                    if k not in reads:
+                        reads[k] = self._pool.submit(self._read_slab_host, k)
+
+            ensure_reads(2 * group)
+            prev_probe = None
+            for s in starts:
+                ks = list(range(s, min(s + group, n)))
+                t0 = _time.perf_counter()
+                payloads = [reads.pop(k).result() for k in ks]  # disk wait
+                t1 = _time.perf_counter()
+                if prev_probe is not None:
+                    np.asarray(prev_probe)  # barrier: queue drained, prev
+                    bufs_group = None       # group's slabs freeable
+                t2 = _time.perf_counter()
+                bufs_group = [self._put_slab(p) for p in payloads]
+                t3 = _time.perf_counter()
+                for k, bufs in zip(ks, bufs_group):
+                    canvas, prev_probe = dispatch(k, bufs, canvas)
+                t4 = _time.perf_counter()
+                ensure_reads(s + 3 * group)  # read ahead while computing
+                if dbg:
+                    print(f"serve_phased group {ks}: read_wait "
+                          f"{(t1-t0)*1e3:.0f} barrier {(t2-t1)*1e3:.0f} "
+                          f"puts {(t3-t2)*1e3:.0f} dispatch "
+                          f"{(t4-t3)*1e3:.0f} ms", flush=True)
+        else:
+            probes: Dict[int, object] = {}
+
+            def gated_load(k: int, barrier):
+                if barrier is not None:
+                    np.asarray(barrier)  # program k-2 done -> slab freed
+                return self._load_slab(k)
+
+            self._ensure(0)
+            for k in range(self.n_slabs):
+                self._advance_to(k)
+                canvas, probe = dispatch(k, self._resident[k], canvas)
+                probes[k] = probe
+                if k + 1 < self.n_slabs:
+                    with self._lock:
+                        if (k + 1 != self._current
+                                and k + 1 not in self._resident
+                                and k + 1 not in self._futures):
+                            self._futures[k + 1] = self._pool.submit(
+                                gated_load, k + 1, probes.get(k - 1))
         host = np.asarray(canvas)[:hs, :ws, 0]  # the ONE download
         if density_dtype == "uint8":
             return host.astype(np.float32) / 255.0

@@ -188,19 +188,27 @@ def test_window_stitched_density_matches_full(tmp_path):
     # per-slab-download fallback. Both must be BIT-exact vs the fused cache.
     os.environ["FCDGAN_SCENE_WINDOW_MB"] = "0.30"
     try:
-        for canvas_gate in (None, "0.000001"):
+        # (canvas_gate, serve_mode): default canvas+overlap, canvas+phased
+        # (the relay upload strategy), and the per-slab-download fallback
+        for canvas_gate, serve_mode in ((None, "overlap"), (None, "phased"),
+                                        ("0.000001", None)):
             if canvas_gate is None:
                 os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
             else:
                 os.environ["FCDGAN_SERVE_CANVAS_MAX_MB"] = canvas_gate
+            if serve_mode is None:
+                os.environ.pop("FCDGAN_SERVE_MODE", None)
+            else:
+                os.environ["FCDGAN_SERVE_MODE"] = serve_mode
             win = DeviceSceneWindowCache(ds, scaler)
             assert win.n_slabs > 1
             got = win.stitched_density(infer, sstate, batch_size=3)
             assert got.shape == want.shape == (90, 100)
-            assert np.array_equal(got, want), f"canvas_gate={canvas_gate}"
+            assert np.array_equal(got, want), (canvas_gate, serve_mode)
     finally:
         del os.environ["FCDGAN_SCENE_WINDOW_MB"]
         os.environ.pop("FCDGAN_SERVE_CANVAS_MAX_MB", None)
+        os.environ.pop("FCDGAN_SERVE_MODE", None)
     # uint8 path quantizes identically too (canvas path quantizes per slab
     # write; values are per-pixel identical so the bytes must match)
     want8 = full.stitched_density(infer, sstate, batch_size=3,
