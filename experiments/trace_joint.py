@@ -50,15 +50,21 @@ def analyze(outdir, steps, top=40, table=False):
     agg = defaultdict(float)
     flops = defaultdict(float)
     bytes_ = defaultdict(float)
+    cat = {}
+    long_name = {}
     argkeys = defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            a = e.get("args") or {}
+            if "hlo_category" not in a:
+                continue  # container/grouping lanes double-count real ops
             name = e.get("name", "?")
             dur = float(e.get("dur", 0.0))
             agg[name] += dur
             total += dur
-            a = e.get("args") or {}
+            cat[name] = a.get("hlo_category", "")
+            long_name[name] = a.get("long_name", "")
             for k in a:
                 argkeys[k] += 1
             for k in ("flops", "model_flops", "flop_count"):
@@ -79,17 +85,26 @@ def analyze(outdir, steps, top=40, table=False):
     print(f"total device time: {total/1e3/steps:.2f} ms/step over {steps} steps")
     print(f"arg keys seen: {dict(sorted(argkeys.items(), key=lambda kv: -kv[1])[:12])}")
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    # category roll-up: where the whole step goes
+    by_cat = defaultdict(float)
+    for name, dur in agg.items():
+        by_cat[cat.get(name, "?")] += dur
+    print("category roll-up (ms/step):",
+          {c: round(d / 1e3 / steps, 1)
+           for c, d in sorted(by_cat.items(), key=lambda kv: -kv[1])})
     if table:
         # markdown per-op budget table (VERDICT r4 task 3): op, ms/step,
         # % of step, TF/s (from the trace's own flop counts), GB/s
-        print("\n| op | ms/step | % step | TF/s | GB/s |")
-        print("|---|---|---|---|---|")
+        print("\n| op | cat | ms/step | % step | TF/s | GB/s | what |")
+        print("|---|---|---|---|---|---|---|")
         for name, dur in rows:
             tf = flops[name] / (dur * 1e-6) / 1e12 if dur and flops[name] else 0
             gb = bytes_[name] / (dur * 1e-6) / 1e9 if dur and bytes_[name] else 0
-            print(f"| `{name[:80]}` | {dur/1e3/steps:.3f} | "
+            ln = long_name.get(name, "")[:90].replace("|", "/")
+            print(f"| `{name[:40]}` | {cat.get(name, '')} | "
+                  f"{dur/1e3/steps:.3f} | "
                   f"{100*dur/max(total,1e-9):.1f}% | "
-                  f"{tf:.1f} | {gb:.0f} |")
+                  f"{tf:.1f} | {gb:.0f} | `{ln}` |")
     else:
         for name, dur in rows:
             extra = ""
@@ -98,7 +113,7 @@ def analyze(outdir, steps, top=40, table=False):
             if bytes_[name]:
                 extra += f"  {bytes_[name]/(dur*1e-6)/1e9:5.0f} GB/s"
             print(f"{dur/1e3/steps:9.3f} ms  {100*dur/max(total,1e-9):5.1f}%"
-                  f"{extra}  {name[:100]}")
+                  f"{extra}  {name[:60]}  {long_name.get(name, '')[:70]}")
 
 
 if __name__ == "__main__":
