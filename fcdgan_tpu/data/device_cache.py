@@ -1044,14 +1044,14 @@ class DeviceSceneWindowCache:
 
         mode = os.environ.get("FCDGAN_SERVE_MODE")
         if mode not in ("phased", "overlap"):
-            # the axon relay registers as platform "tpu" but stamps its
-            # platform_version; real TPU hosts (PCIe DMA uploads that do
-            # overlap compute) take the overlap strategy
-            try:
-                ver = getattr(jax.devices()[0].client, "platform_version", "")
-            except Exception:
-                ver = ""
-            mode = "phased" if "axon" in ver else "overlap"
+            # overlap is the default everywhere: when transfers are light
+            # (integral scenes, compressible content, real-host PCIe) the
+            # phased barriers serialize compute that overlap hides
+            # (ab_round5 serve_ab_realistic: canvas-phased 1.9 vs
+            # per-slab-overlap 2.7 Mpx/s); when transfers dominate the two
+            # measure equal (serve_ab gate80). phased remains the opt-in
+            # for links whose puts hard-stall active compute.
+            mode = "overlap"
 
         with self._lock:  # serving visits slabs in order; a stale training
             self._order = []  # order must not trigger extra prefetches
