@@ -638,8 +638,17 @@ def run_oscd(cfg: InferConfig) -> Dict:
 
 
 def main(argv=None):
+    import os
+
     from ..config import parse_cli
 
+    # production serving default: 32-wide fused-stitch chunks run the MXU
+    # deeper (+22-27% in-process, 11.0-11.2 vs 7.4-9.2 Mpx/s uint8 on a
+    # 2048px scene — over half the ~21 Mpx/s device ceiling; round 5).
+    # Values shift by <= 1 uint8 quantization step on ~6% of pixels (XLA
+    # picks per-batch-size conv lowerings); FCDGAN_SERVE_BS=0 restores the
+    # batch-exact chunking that is bit-identical across serve paths.
+    os.environ.setdefault("FCDGAN_SERVE_BS", "32")
     run(parse_cli(InferConfig, argv))
 
 
