@@ -517,3 +517,34 @@ def test_whu_pair_loader_short_tail(tmp_path):
             assert np.all(np.abs(got - want) <= tol), k
         assert np.all(np.asarray(db["weight"]) == 1.0)
     assert n_short == 1  # the length-5/bs-2 epoch has exactly one short tail
+
+
+def test_serve_chunks_widths(monkeypatch):
+    """Serving chunker semantics (device_cache._serve_chunks): default keeps
+    the caller's batch with per-slab ceil chunk counts and wrap-pad indices
+    drawn from the slab's own items; FCDGAN_SERVE_BS>0 widens for MXU depth,
+    and a slab smaller than the cap runs as ONE exact-size chunk."""
+    from fcdgan_tpu.data.device_cache import DeviceSceneWindowCache
+
+    chunks = DeviceSceneWindowCache._serve_chunks
+    items = np.arange(100, 122)  # 22 tiles, like a 2-row 2048px slab
+
+    monkeypatch.delenv("FCDGAN_SERVE_BS", raising=False)
+    got = chunks(items, 10)
+    assert got.shape == (3, 10)  # ceil(22/10), not a global max
+    assert np.array_equal(got.ravel()[:22], items)
+    assert set(got.ravel().tolist()) <= set(items.tolist())  # wrap, no pad
+
+    monkeypatch.setenv("FCDGAN_SERVE_BS", "32")
+    got = chunks(items, 10)
+    assert got.shape == (1, 22)  # smaller than cap -> one exact-size chunk
+    assert np.array_equal(got[0], items)
+
+    big = np.arange(70)
+    got = chunks(big, 10)
+    assert got.shape == (3, 32)  # ceil(70/32) chunks at the cap width
+    assert np.array_equal(got.ravel()[:70], big)
+    assert set(got.ravel().tolist()) <= set(big.tolist())
+
+    monkeypatch.setenv("FCDGAN_SERVE_BS", "0")
+    assert chunks(big, 10).shape == (7, 10)  # 0 = disabled, batch-exact
